@@ -1,0 +1,107 @@
+"""Content-stream text extraction (the capability the reference scopes out:
+/root/reference/README.md:55-65, standard_coverage.rst:93-98 — rebuilt here
+on top of the object scanner's content mode).
+
+Extraction contract (also the oracle's definition — tools/make_oracle.py
+runs this exact algorithm over the reference parser, so both sides pin the
+same bytes per url):
+
+* pages are visited in document order (catalog -> page tree, parity
+  _document.py:26-46)
+* each page's ``Contents`` (direct stream, ref, or array of refs) is
+  decoded and the decoded byte streams are joined with a single b"\\n"
+  (PDF 1.7 §7.8.2 treats the array as one stream with whitespace between)
+* the joined stream is scanned in content mode; the string operands of the
+  text-showing operators ``Tj``, ``'``, ``\"`` and the string elements of
+  ``TJ`` arrays are concatenated in content order
+* literal strings contribute their raw bytes; hex strings contribute their
+  unhexlified bytes (odd final nibble padded with 0)
+* pages are joined with a single b"\\n"
+
+No font/CMap decoding: output is the raw string-operand byte stream, which
+is what makes byte-identity with the reference-driven oracle well defined.
+"""
+
+from __future__ import annotations
+
+from .model import HexString, LiteralString, Operator, Ref, Stream
+from .parser import DocumentParser, ObjectScanner
+
+_SHOW_OPS = ("Tj", "'", '"')
+
+
+def _unhex(digits: bytes) -> bytes:
+    if len(digits) % 2:
+        digits += b"0"
+    return bytes.fromhex(digits.decode("ascii"))
+
+
+def text_from_content_bytes(content: bytes) -> bytes:
+    """Concatenate string operands of text-showing operators in content
+    order from one decoded content stream."""
+    scanner = ObjectScanner(content, content_mode=True)
+    pieces = []
+    pending = []  # operand stack since the previous operator
+    while True:
+        try:
+            obj = scanner.parse()
+        except StopIteration:
+            break
+        except Exception:
+            # Unscannable region (e.g. raw inline-image bytes after an ID
+            # operator): keep the text gathered so far. The oracle applies
+            # the identical rule, so partial text stays byte-identical.
+            break
+        if isinstance(obj, Operator):
+            name = obj.value
+            if name in _SHOW_OPS:
+                for operand in reversed(pending):
+                    if isinstance(operand, LiteralString):
+                        pieces.append(operand.value)
+                        break
+                    if isinstance(operand, HexString):
+                        pieces.append(_unhex(operand.value))
+                        break
+            elif name == "TJ":
+                for operand in reversed(pending):
+                    if isinstance(operand, list):
+                        for element in operand:
+                            if isinstance(element, LiteralString):
+                                pieces.append(element.value)
+                            elif isinstance(element, HexString):
+                                pieces.append(_unhex(element.value))
+                        break
+            pending.clear()
+        else:
+            pending.append(obj)
+    return b"".join(pieces)
+
+
+def _content_streams(doc: DocumentParser, contents):
+    """Normalize a page's Contents into a list of decoded byte strings."""
+    if isinstance(contents, Ref):
+        contents = doc.resolve(contents)
+    if isinstance(contents, Stream):
+        return [contents.payload()]
+    if isinstance(contents, list):
+        out = []
+        for piece in contents:
+            if isinstance(piece, Ref):
+                piece = doc.resolve(piece)
+            if isinstance(piece, Stream):
+                out.append(piece.payload())
+        return out
+    return []
+
+
+def extract_pdf_text(doc: DocumentParser, pages=None) -> bytes:
+    """Whole-document extraction: page-ordered, stream-joined text bytes."""
+    page_texts = []
+    for page in (doc.page_dicts() if pages is None else pages):
+        contents = page.get("Contents") if isinstance(page, dict) else None
+        if contents is None:
+            page_texts.append(b"")
+            continue
+        decoded = _content_streams(doc, contents)
+        page_texts.append(text_from_content_bytes(b"\n".join(decoded)))
+    return b"\n".join(page_texts)
