@@ -1,0 +1,133 @@
+"""Filter golden vectors, ported from the reference suite
+(/root/reference/tests/decoders_unit_tests.py, unit_tests.py:328-338)
+plus new LZW vectors (the reference has no LZW — TODO.md:10)."""
+
+import zlib
+
+import pytest
+
+from pdf4py_spark.kernel.filters import (
+    ascii85_decode, asciihex_decode, flate_decode, lzw_decode,
+    run_filter_chain, runlength_decode, undo_png_predictor,
+    undo_tiff_predictor,
+)
+from pdf4py_spark.kernel.model import UnsupportedFeatureError
+
+
+def test_ascii85():
+    # reference vector, decoders_unit_tests.py:10-13 (note: the quirky
+    # positional loop handles the '~>' terminator by stopping at len-2)
+    assert ascii85_decode(b"6Z6LH+Co%nDe*F#+@/pn8P(m!~>", {}) == \
+        b"Code decodes ASCII85"
+
+
+def test_runlength():
+    # reference vector, decoders_unit_tests.py:16-19
+    assert runlength_decode(b"\x0bHello world.\x82c", {}) == \
+        b"Hello world." + 127 * b"c"
+
+
+def test_asciihex():
+    # reference vector, decoders_unit_tests.py:22-25
+    assert asciihex_decode(b"3837635552445d692c2245626f38307e3e>", {}) == \
+        b'87cURD]i,"Ebo80~>'
+
+
+def test_asciihex_odd_padding():
+    assert asciihex_decode(b"48656c6c6f2>", {}) == b"Hello "
+
+
+def test_tiff_predictor():
+    filtered = bytes([1] * 24)
+    expected = bytes([1, 1, 1, 1, 2, 2, 2, 2, 3, 3, 3, 3] * 2)
+    assert undo_tiff_predictor(filtered, 3, 8, 4) == expected
+
+
+def test_png_up_filter():
+    # two scanlines of width 4, filter type 2 (Up)
+    data = bytes([2, 1, 1, 1, 1, 2, 1, 2, 3, 4])
+    out = undo_png_predictor(data, 4, 8, 1)
+    assert out == bytes([1, 1, 1, 1, 2, 3, 4, 5])
+
+
+def test_png_sub_filter_reference_quirk():
+    # type 1 adds the FILTERED left neighbor (reference parity)
+    data = bytes([1, 5, 3, 3, 3])
+    out = undo_png_predictor(data, 4, 8, 1)
+    assert out == bytes([5, 8, 6, 6])  # 5, 3+5, 3+3, 3+3
+
+
+def test_flate_roundtrip():
+    raw = b"spark shuffles arrow batches " * 10
+    assert flate_decode(zlib.compress(raw), {}) == raw
+
+
+def test_filter_chain_reversed_and_crypt_skipped():
+    raw = b"payload"
+    data = zlib.compress(raw).hex().encode() + b">"
+    meta = {"Filter": ["FlateDecode", "Crypt", "ASCIIHexDecode"]}
+    assert run_filter_chain(meta, data) == raw
+
+
+def test_unknown_filter():
+    with pytest.raises(UnsupportedFeatureError):
+        run_filter_chain({"Filter": "NoSuchCodec"}, b"")
+
+
+def _lzw_encode(data: bytes, early: int = 1) -> bytes:
+    """Minimal spec-faithful LZW encoder used only to pin the decoder."""
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    out_bits = []
+
+    def emit(code):
+        out_bits.extend((code >> (width - 1 - k)) & 1 for k in range(width))
+
+    emit(256)
+    cur = b""
+    for b in data:
+        probe = cur + bytes([b])
+        if probe in table:
+            cur = probe
+        else:
+            emit(table[cur])
+            table[probe] = next_code
+            next_code += 1
+            if next_code + early - 1 > (1 << width) and width < 12:
+                width += 1
+            cur = bytes([b])
+    if cur:
+        emit(table[cur])
+    emit(257)
+    while len(out_bits) % 8:
+        out_bits.append(0)
+    return bytes(
+        sum(bit << (7 - j) for j, bit in enumerate(out_bits[i:i + 8]))
+        for i in range(0, len(out_bits), 8))
+
+
+def test_lzw_roundtrip():
+    for raw in (b"", b"A", b"TOBEORNOTTOBEORTOBEORNOT",
+                b"aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa",
+                bytes(range(256)) * 3):
+        assert lzw_decode(_lzw_encode(raw), {}) == raw
+
+
+def _pack9(codes):
+    bits = "".join(format(c, "09b") for c in codes)
+    bits += "0" * (-len(bits) % 8)
+    return bytes(int(bits[i:i + 8], 2) for i in range(0, len(bits), 8))
+
+
+def test_lzw_hand_vector():
+    # '---AAABBB' hand-encoded: clear, '-', 258('--'), 'A', 260('AA'),
+    # 'B', 262('BB'), EOD
+    encoded = _pack9([256, 45, 258, 65, 260, 66, 262, 257])
+    assert lzw_decode(encoded, {}) == b"---AAABBB"
+
+
+def test_lzw_code_equals_next_entry():
+    # the KwKwK case: code referencing the entry being defined
+    encoded = _pack9([256, 45, 258, 257])
+    assert lzw_decode(encoded, {}) == b"---"
