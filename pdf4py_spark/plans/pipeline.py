@@ -1,0 +1,246 @@
+"""The extraction pipeline (SURVEY.md §3.4):
+
+    scan -> prune -> [anti-join manifest] -> size-salted repartition
+         -> mapInPandas kernel -> extracted/metrics/lineage views
+         -> append sinks + manifest commit
+
+Design notes for 100 TB:
+
+* one shuffle total (the size-salted repartition); everything else is
+  narrow or an aggregation over the kernel output
+* the kernel is one Python invocation per Arrow batch; batch row count is
+  bounded by spark.sql.execution.arrow.maxRecordsPerBatch and byte size is
+  bounded because partitions are size-homogeneous (functions.size_bucket)
+* no exception escapes the kernel: bad documents become quarantine rows
+  (status != 'ok'), so a 10^12-row job is total
+* resume is keyed on a stable url-hash bucket (never on Spark partition
+  ids) recorded in a JSON manifest next to the output — the parquet
+  stand-in for Iceberg snapshot + manifest commits (no Iceberg jar in this
+  sandbox; the seam is storage.py)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pandas as pd
+
+from pyspark import TaskContext
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import balanced_repartition, dispatch_kind, resume_key
+
+#: unified kernel output: extraction result + per-document metrics
+EXTRACT_SCHEMA = (
+    "url string, warc_ts timestamp, doc_kind string, extracted binary, "
+    "extracted_utf8 string, status string, error string, "
+    "n_objects int, n_xref_sections int, n_compressed_objects int, "
+    "filters array<string>, decrypt_hit boolean, parse_ok boolean, "
+    "bytes_in bigint, bytes_out bigint, wall_ms double, partition_id int"
+)
+
+_EXTRACT_COLS = [c.split()[0] for c in EXTRACT_SCHEMA.split(", ")]
+
+
+def _extract_batches(batches):
+    """The Arrow kernel: one Python call per batch; per row it dispatches
+    the payload to the PDF or HTML path (kernel.extract.extract_document).
+
+    Imported lazily inside the worker so the closure ships only names.
+    """
+    from pdf4py_spark.kernel.extract import extract_document
+
+    ctx = TaskContext.get()
+    pid = ctx.partitionId() if ctx is not None else -1
+    for pdf in batches:
+        n = len(pdf.index)
+        if n == 0:
+            continue
+        urls = pdf["url"].tolist()
+        stamps = pdf["warc_ts"].tolist()
+        payloads = pdf["html"].tolist()
+        passwords = pdf["password"].tolist() if "password" in pdf else [None] * n
+        pw_is_bytes = (pdf["password_is_bytes"].tolist()
+                       if "password_is_bytes" in pdf else [False] * n)
+        out = {c: [] for c in _EXTRACT_COLS}
+        for i in range(n):
+            pw = passwords[i]
+            if pw is not None and not isinstance(pw, str):
+                pw = None  # NaN from a left join
+            if pw is not None and pw_is_bytes[i]:
+                pw = pw.encode("utf-8")
+            r = extract_document(payloads[i], pw)
+            out["url"].append(urls[i])
+            out["warc_ts"].append(stamps[i])
+            out["doc_kind"].append(r.doc_kind)
+            out["extracted"].append(r.extracted)
+            out["extracted_utf8"].append(
+                r.extracted.decode("utf-8", "replace")
+                if r.extracted is not None else None)
+            out["status"].append(r.status)
+            out["error"].append(r.error)
+            out["n_objects"].append(r.n_objects)
+            out["n_xref_sections"].append(r.n_xref_sections)
+            out["n_compressed_objects"].append(r.n_compressed_objects)
+            out["filters"].append(r.filters)
+            out["decrypt_hit"].append(r.decrypt_hit)
+            out["parse_ok"].append(r.parse_ok)
+            out["bytes_in"].append(r.bytes_in)
+            out["bytes_out"].append(r.bytes_out)
+            out["wall_ms"].append(r.wall_ms)
+            out["partition_id"].append(pid)
+        yield pd.DataFrame(out)
+
+
+def extract_pages(pages: DataFrame, num_partitions: int = None,
+                  passwords: DataFrame = None) -> DataFrame:
+    """Declarative extraction plan over a `pages`-shaped DataFrame
+    (url, warc_ts, html[, text, lang]).
+
+    Columns are pruned to what the kernel reads (scan-level pruning),
+    passwords broadcast-joined (tiny dimension), then the size-salted
+    repartition feeds the Arrow kernel.
+    """
+    cols = ["url", "warc_ts", "html"]
+    slim = pages.select(*cols)
+    if passwords is not None:
+        slim = slim.join(F.broadcast(passwords), "url", "left")
+    if num_partitions is None:
+        num_partitions = slim.sparkSession.sparkContext.defaultParallelism
+    balanced = balanced_repartition(slim, num_partitions)
+    return balanced.mapInPandas(_extract_batches, schema=EXTRACT_SCHEMA)
+
+
+def extracted_view(result: DataFrame) -> DataFrame:
+    """The `extracted` output table (FIXTURES.md §5)."""
+    return result.select("url", "warc_ts", "doc_kind", "extracted",
+                         "extracted_utf8", "status", "error")
+
+
+def metrics_view(result: DataFrame) -> DataFrame:
+    """The per-document `metrics` companion table."""
+    return result.select("partition_id", "url", "doc_kind", "n_objects",
+                         "n_xref_sections", "n_compressed_objects",
+                         "filters", "decrypt_hit", "parse_ok", "bytes_in",
+                         "bytes_out", "wall_ms")
+
+
+def metrics_rollup(result: DataFrame) -> DataFrame:
+    """Partition-level hash aggregate over kernel output (built-in
+    partial/map-side combine — SURVEY.md §2.3 D7)."""
+    return (result.groupBy("partition_id", "doc_kind").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("parse_ok").cast("long")).alias("n_ok"),
+        F.sum((~F.col("parse_ok")).cast("long")).alias("n_failed"),
+        F.sum("bytes_in").alias("bytes_in"),
+        F.sum("bytes_out").alias("bytes_out"),
+        F.sum("wall_ms").alias("kernel_ms"),
+        F.sum("n_objects").alias("n_objects"),
+        F.flatten(F.collect_set("filters")).alias("filters_seen"),
+    ))
+
+
+def lineage_view(result: DataFrame, attempt: int = 0,
+                 input_snapshot_id: int = 0) -> DataFrame:
+    """Per-partition lineage rows (SURVEY.md §2.3 D8)."""
+    return (result.groupBy("partition_id").agg(
+        F.lit(attempt).alias("attempt"),
+        F.lit(input_snapshot_id).alias("input_snapshot_id"),
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("parse_ok").cast("long")).alias("n_ok"),
+        F.sum((~F.col("parse_ok")).cast("long")).alias("n_failed"),
+        F.current_timestamp().alias("finished_at"),
+    ))
+
+
+# ---------------------------------------------------------------------------
+# checkpoint / resume
+# ---------------------------------------------------------------------------
+
+def _snapshot_id(spark: SparkSession, source_path: str) -> int:
+    """Stable fingerprint of the input (file listing + sizes) — the parquet
+    stand-in for an Iceberg snapshot id."""
+    try:
+        names = sorted(
+            (f, os.path.getsize(os.path.join(source_path, f)))
+            for f in os.listdir(source_path))
+    except OSError:
+        names = [(source_path, 0)]
+    return hash(tuple(names)) & 0x7FFFFFFFFFFFFFFF
+
+
+def _manifest_dir(output_path: str) -> str:
+    return os.path.join(output_path, "_manifest")
+
+
+def completed_shards(output_path: str) -> dict:
+    done = {}
+    mdir = _manifest_dir(output_path)
+    if os.path.isdir(mdir):
+        for name in os.listdir(mdir):
+            if name.endswith(".json"):
+                with open(os.path.join(mdir, name)) as fh:
+                    rec = json.load(fh)
+                done[rec["shard"]] = rec
+    return done
+
+
+def _commit_shard(output_path: str, shard: int, snapshot_id: int, n_rows: int):
+    mdir = _manifest_dir(output_path)
+    os.makedirs(mdir, exist_ok=True)
+    rec = {"shard": shard, "input_snapshot_id": snapshot_id,
+           "n_rows": n_rows, "committed_at": time.time()}
+    tmp = os.path.join(mdir, ".shard-%05d.json.tmp" % shard)
+    with open(tmp, "w") as fh:
+        json.dump(rec, fh)
+    os.replace(tmp, os.path.join(mdir, "shard-%05d.json" % shard))
+
+
+def run_resumable(spark: SparkSession, source_path: str, output_path: str,
+                  n_shards: int = 4, num_partitions: int = None,
+                  passwords: DataFrame = None, max_shards: int = None) -> dict:
+    """Checkpointed extraction: the corpus is split into ``n_shards`` stable
+    url-hash shards; each shard is extracted and appended atomically, then
+    its manifest record is committed. Re-runs skip committed shards
+    (SURVEY.md §2.3 D4: the anti-join is a metadata filter here because the
+    shard key is pushed down to the scan as a predicate).
+
+    ``max_shards`` limits how many uncommitted shards to process this run
+    (used by the kill-and-resume test).
+
+    Returns {"processed": [...], "skipped": [...], "snapshot_id": int}.
+    """
+    pages = spark.read.parquet(source_path)
+    snapshot_id = _snapshot_id(spark, source_path)
+    done = completed_shards(output_path)
+    stale = [s for s, rec in done.items()
+             if rec["input_snapshot_id"] != snapshot_id]
+    if stale:
+        raise ValueError(
+            "manifest was committed against a different input snapshot: "
+            "shards %r — clear %s to reprocess" % (stale, output_path))
+    keyed = pages.withColumn("_shard", resume_key(n_shards))
+    processed, skipped = [], []
+    for shard in range(n_shards):
+        if shard in done:
+            skipped.append(shard)
+            continue
+        if max_shards is not None and len(processed) >= max_shards:
+            break
+        subset = keyed.where(F.col("_shard") == shard).drop("_shard")
+        result = extract_pages(subset, num_partitions=num_partitions,
+                               passwords=passwords)
+        out = result.withColumn("_shard", F.lit(shard))
+        (out.write.mode("append")
+            .partitionBy("_shard")
+            .parquet(os.path.join(output_path, "extracted")))
+        n_rows = spark.read.parquet(
+            os.path.join(output_path, "extracted")).where(
+            F.col("_shard") == shard).count()
+        _commit_shard(output_path, shard, snapshot_id, n_rows)
+        processed.append(shard)
+    return {"processed": processed, "skipped": skipped,
+            "snapshot_id": snapshot_id}
