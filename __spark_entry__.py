@@ -1,10 +1,19 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry()      — flagship: the full extraction pipeline (Catalyst dispatch ->
+               size-salted repartition -> Arrow kernel) over an HTML-wrapped
+               view of the documents table at sf0.001.
+queries()    — one entry per implemented operator (SURVEY.md §2): the
+               extraction family (kernel-driven, including the byte-identity
+               md5 gate over the reference-corpus fixture), dedup
+               (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding
+               cosine), similarity search (brute-force + bucketed ANN),
+               text analysis (quality / lang-id / token rollup /
+               fingerprint), relational + windowed/sessionized queries, and
+               multimodal plumbing.
+oracle_sql() — the DuckDB-equivalent ANSI SQL per query;
+               media_frame_sample is intentionally rows-only (Arrow kernel,
+               not SQL-expressible).
 """
 
 from __future__ import annotations
@@ -13,26 +22,21 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pdf4py_spark.operators import all_queries
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship extraction over /root/testdata/sf0.001."""
+    from pdf4py_spark.operators.extraction_queries import (
+        extract_html_roundtrip,
+    )
+    return extract_html_roundtrip(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: spec.fn for name, spec in all_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: spec.sql for name, spec in all_queries().items()
+            if spec.sql is not None}

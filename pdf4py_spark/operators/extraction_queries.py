@@ -1,0 +1,158 @@
+"""Flagship extraction queries: the kernel pipeline exercised end-to-end
+under the driver's DuckDB correctness gate.
+
+Two input shapes:
+* the ``documents`` test table, wrapped into HTML payloads by a pure
+  Catalyst expression (so the SQL oracle can state the expected text
+  exactly: boilerplate strip must return the original text), and
+* the committed 30-row ``pages`` fixture (reference corpus), whose oracle
+  parquet was produced from the reference implementation — the md5 check
+  here IS the byte-identity invariant running inside the correctness gate.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from . import QuerySpec, table
+from ..plans.pipeline import extract_pages
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+FIXTURE_PAGES = os.path.join(_ROOT, "tests", "fixtures", "pages.parquet")
+FIXTURE_ORACLE = os.path.join(_ROOT, "tests", "fixtures", "oracle.parquet")
+
+# boilerplate wrapper: nav/script/style/footer must be stripped, the <p>
+# block must survive verbatim
+_WRAP = (
+    "concat('<html><head><title>t</title><script>var x = 1;</script>"
+    "<style>p { color: blue }</style></head><body>"
+    "<nav><ul><li>Home</li></ul></nav><header><h1>masthead</h1></header>"
+    "<article><p>', text, '</p></article>"
+    "<footer>(c) corpus</footer></body></html>')"
+)
+
+
+def _docs_as_pages(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string"))
+        .alias("url"),
+        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.encode(F.expr(_WRAP), "utf-8").alias("html"),
+        "text", "lang")
+
+
+def extract_html_roundtrip(spark, sf_dir):
+    """documents.text -> HTML boilerplate wrap (Catalyst) -> Arrow kernel
+    boilerplate strip -> must round-trip to the original text."""
+    pages = _docs_as_pages(spark, sf_dir)
+    result = extract_pages(pages, num_partitions=8)
+    return result.select("url", "extracted_utf8", "status")
+
+
+EXTRACT_HTML_SQL = """
+SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
+       text AS extracted_utf8,
+       'ok' AS status
+FROM documents
+"""
+
+
+def extract_stats_by_lang(spark, sf_dir):
+    """Extraction byte accounting per language: kernel output joined back
+    to the input dimension, aggregated JVM-side."""
+    pages = _docs_as_pages(spark, sf_dir)
+    result = extract_pages(pages, num_partitions=8)
+    langs = pages.select("url", "lang")
+    return (result.join(langs, "url")
+            .groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.col("bytes_out")).alias("bytes_out_sum"),
+                 F.sum(F.col("parse_ok").cast("bigint")).alias("n_ok")))
+
+
+EXTRACT_STATS_SQL = """
+SELECT lang, COUNT(*) AS n_docs,
+       SUM(CAST(length(text) AS BIGINT)) AS bytes_out_sum,
+       COUNT(*) AS n_ok
+FROM documents GROUP BY lang
+"""
+
+
+def _fixture_extraction(spark):
+    from ..sources.pages import passwords_df
+    pages = spark.read.parquet(FIXTURE_PAGES)
+    return extract_pages(pages, num_partitions=4,
+                         passwords=passwords_df(spark))
+
+
+def extract_pdf_census(spark, sf_dir):
+    """PDF structural census over the reference corpus fixture: object and
+    page counts per url must equal the reference-derived oracle."""
+    result = _fixture_extraction(spark)
+    return (result.where("parse_ok and doc_kind = 'pdf'")
+            .select("url", "n_objects", "n_pages"))
+
+
+PDF_CENSUS_SQL = """
+SELECT url, CAST(n_objects AS INT) AS n_objects,
+       CAST(n_pages AS INT) AS n_pages
+FROM read_parquet('{oracle}')
+WHERE parse_ok
+""".format(oracle=FIXTURE_ORACLE)
+
+
+def extract_pdf_text_md5(spark, sf_dir):
+    """THE byte-identity invariant as a gated query: md5 of the extracted
+    bytes per url versus the oracle parquet."""
+    result = _fixture_extraction(spark)
+    return (result.where("parse_ok and doc_kind = 'pdf'")
+            .select("url", F.md5("extracted").alias("text_md5")))
+
+
+PDF_TEXT_MD5_SQL = """
+SELECT url, extracted_md5 AS text_md5
+FROM read_parquet('{oracle}')
+WHERE parse_ok
+""".format(oracle=FIXTURE_ORACLE)
+
+
+def extract_quarantine_counts(spark, sf_dir):
+    """Totality contract: every corpus row lands in exactly one status."""
+    result = _fixture_extraction(spark)
+    return (result.groupBy("doc_kind", "status")
+            .agg(F.count("*").alias("n_docs")))
+
+
+QUARANTINE_SQL = """
+WITH expected AS (
+  SELECT p.url,
+         CASE WHEN substring(CAST(p.html AS VARCHAR), 1, 5) = '%PDF-'
+              THEN 'pdf' ELSE 'html' END AS doc_kind,
+         CASE WHEN o.url IS NULL THEN 'ok'  -- html fixtures: no oracle row
+              WHEN o.parse_ok THEN 'ok'
+              WHEN p.url = 'crawl://encrypted/0016.pdf'
+                THEN 'wrong_password'
+              ELSE 'error' END AS status
+  FROM read_parquet('{pages}') p
+  LEFT JOIN read_parquet('{oracle}') o USING (url)
+)
+SELECT doc_kind, status, COUNT(*) AS n_docs
+FROM expected GROUP BY doc_kind, status
+""".format(pages=FIXTURE_PAGES, oracle=FIXTURE_ORACLE)
+
+
+QUERIES = {
+    "extract_html_roundtrip": QuerySpec(extract_html_roundtrip,
+                                        EXTRACT_HTML_SQL),
+    "extract_stats_by_lang": QuerySpec(extract_stats_by_lang,
+                                       EXTRACT_STATS_SQL),
+    "extract_pdf_census": QuerySpec(extract_pdf_census, PDF_CENSUS_SQL),
+    "extract_pdf_text_md5": QuerySpec(extract_pdf_text_md5,
+                                      PDF_TEXT_MD5_SQL),
+    "extract_quarantine_counts": QuerySpec(extract_quarantine_counts,
+                                           QUARANTINE_SQL),
+}

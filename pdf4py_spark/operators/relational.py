@@ -1,0 +1,198 @@
+"""Relational dataset-plane queries over the TPC-H-ish tables + events:
+aggregation, broadcast joins, window ranking, tumbling windows, and
+sessionization (gaps-and-islands). These exercise the Spark primitives the
+extraction pipeline relies on (D7 hash aggregate, D10 broadcast join) at
+query scale.
+
+Float discipline: money math in DECIMAL(18,4) on both engines so parallel
+sum order cannot perturb the result; timestamps diffed in microseconds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from . import QuerySpec, table
+
+
+def pricing_summary(spark, sf_dir):
+    """TPC-H Q1-style pricing summary on lineitem (exact decimal sums)."""
+    li = table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    # scales chosen so no rounding ever occurs (prices have 2 decimals,
+    # discounts 2, so the product has exactly 4): engines agree bit-exactly
+    return (li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum(dec("l_quantity")).cast("decimal(38,2)")
+                .alias("sum_qty"),
+                F.sum(dec("l_extendedprice")).cast("decimal(38,2)")
+                .alias("sum_base_price"),
+                F.sum((dec("l_extendedprice")
+                       * (F.lit(1).cast("decimal(18,4)")
+                          - dec("l_discount"))).cast("decimal(18,4)"))
+                .cast("decimal(38,4)").alias("sum_disc_price"),
+                F.count("*").alias("count_order")))
+
+
+PRICING_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,2))
+         AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,2))
+         AS sum_base_price,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                     (CAST(1 AS DECIMAL(18,4)) -
+                      CAST(l_discount AS DECIMAL(18,4)))
+                     AS DECIMAL(18,4))) AS DECIMAL(38,4))
+         AS sum_disc_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def revenue_by_nation(spark, sf_dir):
+    """Order revenue per nation/region: fact table joined to broadcast
+    dimensions (customer -> nation -> region)."""
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    return (orders
+            .join(F.broadcast(customer),
+                  orders.o_custkey == customer.c_custkey)
+            .join(F.broadcast(nation),
+                  customer.c_nationkey == nation.n_nationkey)
+            .join(F.broadcast(region),
+                  nation.n_regionkey == region.r_regionkey)
+            .groupBy(F.col("r_name").alias("region_name"),
+                     F.col("n_name").alias("nation_name"))
+            .agg(
+                F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+                .cast("decimal(18,2)").alias("revenue"),
+                F.count("*").alias("n_orders"),
+                F.countDistinct("o_custkey").alias("n_customers")))
+
+
+REVENUE_SQL = """
+SELECT r_name AS region_name, n_name AS nation_name,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,2))
+         AS revenue,
+       COUNT(*) AS n_orders,
+       COUNT(DISTINCT o_custkey) AS n_customers
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def top_orders_per_segment(spark, sf_dir):
+    """Window ranking: top-3 orders by price inside each market segment."""
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    joined = orders.join(F.broadcast(customer),
+                         orders.o_custkey == customer.c_custkey)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (joined.withColumn("rank", F.row_number().over(w))
+            .where("rank <= 3")
+            .select(F.col("c_mktsegment").alias("segment"), "rank",
+                    "o_orderkey",
+                    F.col("o_totalprice").cast("decimal(18,2)")
+                    .alias("total_price")))
+
+
+TOP_ORDERS_SQL = """
+WITH ranked AS (
+  SELECT c_mktsegment AS segment, o_orderkey,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS total_price,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                            ORDER BY o_totalprice DESC, o_orderkey ASC)
+           AS rank
+  FROM orders JOIN customer ON o_custkey = c_custkey
+)
+SELECT segment, rank, o_orderkey, total_price FROM ranked WHERE rank <= 3
+"""
+
+
+def events_hourly(spark, sf_dir):
+    """Tumbling 1-hour windows over the events stream table (the batch
+    shape of the Structured Streaming aggregation)."""
+    ev = table(spark, sf_dir, "events")
+    return (ev.groupBy(
+        F.window("ts", "1 hour")["start"].alias("hour_start"),
+        "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.sum(F.col("value").cast("decimal(18,4)"))
+             .cast("decimal(18,2)").alias("value_sum"),
+             F.countDistinct("user_id").alias("n_users")))
+
+
+EVENTS_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS hour_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,2))
+         AS value_sum,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY date_trunc('hour', ts), event_type
+"""
+
+
+def sessionize(spark, sf_dir):
+    """Sessionization via gaps-and-islands: a new session starts after a
+    30-minute silence; microsecond-exact on both engines."""
+    ev = table(spark, sf_dir, "events")
+    order_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run_w = order_w.rowsBetween(Window.unboundedPreceding, 0)
+    flagged = (ev
+               .withColumn("prev_ts", F.lag("ts").over(order_w))
+               .withColumn(
+                   "is_new",
+                   (F.col("prev_ts").isNull()
+                    | (F.col("ts") - F.col("prev_ts")
+                       > F.expr("INTERVAL '30' MINUTE"))).cast("long"))
+               .withColumn("session_seq", F.sum("is_new").over(run_w)))
+    return (flagged.groupBy("user_id", "session_seq")
+            .agg(F.count("*").alias("n_events"),
+                 F.min("ts").alias("session_start"),
+                 F.round(F.expr(
+                     "timestampdiff(MICROSECOND, min(ts), max(ts))")
+                     / 1000000.0, 3).alias("duration_sec")))
+
+
+SESSIONIZE_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL '30' MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq, COUNT(*) AS n_events,
+       MIN(ts) AS session_start,
+       ROUND(date_diff('microsecond', MIN(ts), MAX(ts)) / 1000000.0, 3)
+         AS duration_sec
+FROM sessions GROUP BY user_id, session_seq
+"""
+
+
+QUERIES = {
+    "pricing_summary": QuerySpec(pricing_summary, PRICING_SQL),
+    "revenue_by_nation": QuerySpec(revenue_by_nation, REVENUE_SQL),
+    "top_orders_per_segment": QuerySpec(top_orders_per_segment,
+                                        TOP_ORDERS_SQL),
+    "events_hourly": QuerySpec(events_hourly, EVENTS_HOURLY_SQL),
+    "sessionize": QuerySpec(sessionize, SESSIONIZE_SQL),
+}

@@ -1,0 +1,172 @@
+"""Text-analysis operators over ``documents``: quality scoring, language
+identification, token accounting, fingerprinting — all pure relational
+expressions (no UDFs), each with an exact DuckDB oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from . import QuerySpec, table
+
+# tiny inline stopword table for the language-vote heuristic
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "is"),
+    "es": ("el", "la", "de", "y", "es"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "de", "et", "est"),
+}
+
+
+def text_quality(spark, sf_dir):
+    """Per-document quality features: token count, type-token ratio, mean
+    token length, and a keep/drop flag (the web-corpus filtering staple)."""
+    docs = table(spark, sf_dir, "documents")
+    return (docs
+            .withColumn("toks", F.split("text", " "))
+            .select(
+                "doc_id",
+                F.size("toks").cast("bigint").alias("n_tokens"),
+                F.size(F.array_distinct("toks")).cast("bigint")
+                .alias("n_distinct"),
+                F.round(F.size(F.array_distinct("toks"))
+                        / F.size("toks"), 4).alias("ttr"),
+                F.round((F.length("text") - (F.size("toks") - 1))
+                        / F.size("toks"), 4).alias("mean_token_len"))
+            .withColumn(
+                "keep",
+                (F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 1000)
+                & (F.col("ttr") >= 0.1)))
+
+
+TEXT_QUALITY_SQL = """
+WITH feats AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+           AS n_distinct,
+         ROUND(len(list_distinct(string_split(text, ' '))) /
+               len(string_split(text, ' ')), 4) AS ttr,
+         ROUND((length(text) - (len(string_split(text, ' ')) - 1)) /
+               len(string_split(text, ' ')), 4) AS mean_token_len
+  FROM documents
+)
+SELECT doc_id, n_tokens, n_distinct, ttr, mean_token_len,
+       (n_tokens >= 10 AND n_tokens <= 1000 AND ttr >= 0.1) AS keep
+FROM feats
+"""
+
+
+def lang_id(spark, sf_dir):
+    """Stopword-vote language identification: distinct tokens join a tiny
+    broadcast stopword dimension; argmax hits with deterministic ties."""
+    docs = table(spark, sf_dir, "documents")
+    stop_rows = [(lang, w) for lang, ws in sorted(STOPWORDS.items())
+                 for w in ws]
+    stop = spark.createDataFrame(stop_rows, "cand_lang string, w string")
+    toks = (docs.withColumn("toks", F.array_distinct(F.split("text", " ")))
+            .select("doc_id", "lang", F.explode("toks").alias("w")))
+    hits = (toks.join(F.broadcast(stop), "w")
+            .groupBy("doc_id", "lang", "cand_lang")
+            .agg(F.count("*").alias("n_hits")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("n_hits"), F.asc("cand_lang"))
+    best = (hits.withColumn("rk", F.row_number().over(w))
+            .where("rk = 1")
+            .select("doc_id", F.col("cand_lang").alias("predicted_lang"),
+                    "n_hits"))
+    return (docs.select("doc_id", "lang").join(best, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("predicted_lang", F.lit("und"))
+                .alias("predicted_lang"),
+                F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+                F.col("lang").alias("labeled_lang")))
+
+
+def _stop_values_sql():
+    rows = ", ".join("('%s', '%s')" % (lang, w)
+                     for lang, ws in sorted(STOPWORDS.items()) for w in ws)
+    return "(VALUES %s) AS stop(cand_lang, w)" % rows
+
+
+LANG_ID_SQL = """
+WITH tok AS (
+  SELECT DISTINCT doc_id, lang, w FROM (
+    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents
+  )
+),
+hits AS (
+  SELECT doc_id, lang, cand_lang, COUNT(*) AS n_hits
+  FROM tok JOIN {stop} ON tok.w = stop.w
+  GROUP BY doc_id, lang, cand_lang
+),
+best AS (
+  SELECT doc_id, cand_lang AS predicted_lang, n_hits,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY n_hits DESC, cand_lang ASC) AS rk
+  FROM hits
+)
+SELECT d.doc_id,
+       COALESCE(b.predicted_lang, 'und') AS predicted_lang,
+       COALESCE(b.n_hits, 0) AS n_hits,
+       d.lang AS labeled_lang
+FROM documents d LEFT JOIN (SELECT * FROM best WHERE rk = 1) b
+  ON d.doc_id = b.doc_id
+""".format(stop=_stop_values_sql())
+
+
+def token_rollup(spark, sf_dir):
+    """Corpus token accounting per (lang, source): the sizing query every
+    training-data pipeline starts with."""
+    docs = table(spark, sf_dir, "documents")
+    return (docs.withColumn("toks", F.split("text", " "))
+            .groupBy("lang", "source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.size("toks").cast("bigint")).alias("n_tokens"),
+                 F.sum(F.length("text").cast("bigint")).alias("n_chars_sum"),
+                 F.round(F.avg(F.size("toks")), 4).alias("avg_tokens")))
+
+
+TOKEN_ROLLUP_SQL = """
+SELECT lang, source, COUNT(*) AS n_docs,
+       SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS n_tokens,
+       SUM(CAST(length(text) AS BIGINT)) AS n_chars_sum,
+       ROUND(AVG(len(string_split(text, ' '))), 4) AS avg_tokens
+FROM documents GROUP BY lang, source
+"""
+
+
+def fingerprint(spark, sf_dir):
+    """Document fingerprints: whole-text digest + min-shingle digest (the
+    winnowing-style representative hash over word trigrams)."""
+    docs = table(spark, sf_dir, "documents").where(
+        "size(split(text, ' ')) >= 3")
+    return (docs.withColumn("toks", F.split("text", " "))
+            .select(
+                "doc_id",
+                F.md5("text").alias("doc_md5"),
+                F.expr(
+                    "array_min(transform(sequence(1, size(toks) - 2),"
+                    " i -> md5(concat_ws(' ', element_at(toks, i),"
+                    " element_at(toks, i + 1), element_at(toks, i + 2)))))"
+                ).alias("min_shingle_md5")))
+
+
+FINGERPRINT_SQL = """
+SELECT doc_id, md5(text) AS doc_md5,
+       list_min(list_transform(
+         generate_series(1, len(toks) - 2),
+         i -> md5(toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])))
+         AS min_shingle_md5
+FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+      WHERE len(string_split(text, ' ')) >= 3)
+"""
+
+
+QUERIES = {
+    "text_quality": QuerySpec(text_quality, TEXT_QUALITY_SQL),
+    "lang_id": QuerySpec(lang_id, LANG_ID_SQL),
+    "token_rollup": QuerySpec(token_rollup, TOKEN_ROLLUP_SQL),
+    "fingerprint": QuerySpec(fingerprint, FINGERPRINT_SQL),
+}

@@ -39,7 +39,8 @@ EXTRACT_SCHEMA = (
     "extracted_utf8 string, status string, error string, "
     "n_objects int, n_xref_sections int, n_compressed_objects int, "
     "filters array<string>, decrypt_hit boolean, parse_ok boolean, "
-    "bytes_in bigint, bytes_out bigint, wall_ms double, partition_id int"
+    "n_pages int, bytes_in bigint, bytes_out bigint, wall_ms double, "
+    "partition_id int"
 )
 
 _EXTRACT_COLS = [c.split()[0] for c in EXTRACT_SCHEMA.split(", ")]
@@ -88,6 +89,7 @@ def _extract_batches(batches):
             out["filters"].append(r.filters)
             out["decrypt_hit"].append(r.decrypt_hit)
             out["parse_ok"].append(r.parse_ok)
+            out["n_pages"].append(r.n_pages)
             out["bytes_in"].append(r.bytes_in)
             out["bytes_out"].append(r.bytes_out)
             out["wall_ms"].append(r.wall_ms)

@@ -1,0 +1,130 @@
+"""Local stand-in for the driver's correctness gate: run every
+__spark_entry__ query on Spark AND its oracle SQL on DuckDB over the same
+sf dir, compare row count, column names, and an order-insensitive value
+hash.
+
+Usage: python tools/check_parity.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import hashlib
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+def canon(v):
+    if v is None:
+        return "~null~"
+    if isinstance(v, float):
+        return "%.10g" % v
+    if isinstance(v, decimal.Decimal):
+        return "%.10g" % float(v)
+    if isinstance(v, bool):
+        return "T" if v else "F"
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, datetime.datetime):
+        return v.isoformat()
+    if hasattr(v, "item"):  # numpy scalars
+        return canon(v.item())
+    return str(v)
+
+
+def table_hash(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    lines = sorted(
+        "\x1f".join(canon(row[i]) for i in order) for row in rows)
+    return hashlib.md5("\n".join(lines).encode()).hexdigest()
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    from pyspark.sql import SparkSession
+    spark = (SparkSession.builder.master("local[8]")
+             .appName("parity-check")
+             .config("spark.sql.shuffle.partitions", "16")
+             .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+             .config("spark.ui.enabled", "false")
+             .config("spark.driver.memory", "8g")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, t + ".parquet")
+        if os.path.exists(path):
+            con.execute(
+                "CREATE VIEW %s AS SELECT * FROM read_parquet('%s')"
+                % (t, path))
+
+    import __spark_entry__ as entry_mod
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+
+    failures = []
+    for name, fn in sorted(queries.items()):
+        if only and name not in only:
+            continue
+        sql = oracles.get(name)
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = [tuple(r) for r in sdf.collect()]
+            scols = sdf.columns
+        except Exception as exc:
+            failures.append(name)
+            print("%-28s SPARK-ERROR %s" % (name, str(exc)[:160]))
+            continue
+        if sql is None:
+            print("%-28s rows-only    n=%d" % (name, len(srows)))
+            continue
+        try:
+            cur = con.execute(sql)
+            dcols = [d[0] for d in cur.description]
+            drows = cur.fetchall()
+        except Exception as exc:
+            failures.append(name)
+            print("%-28s DUCK-ERROR  %s" % (name, str(exc)[:160]))
+            continue
+        count_ok = len(srows) == len(drows)
+        cols_ok = sorted(scols) == sorted(dcols)
+        hash_ok = (table_hash(srows, scols) == table_hash(drows, dcols)
+                   if count_ok and cols_ok else False)
+        status = "OK" if (count_ok and cols_ok and hash_ok) else "MISMATCH"
+        if status != "OK":
+            failures.append(name)
+        print("%-28s %-9s rows=%d/%d cols=%s hash=%s"
+              % (name, status, len(srows), len(drows),
+                 "ok" if cols_ok else "%s vs %s" % (scols, dcols),
+                 "ok" if hash_ok else "BAD"))
+        if status != "OK" and count_ok and cols_ok:
+            # print a few differing lines for debugging
+            order_s = sorted(range(len(scols)), key=lambda i: scols[i])
+            order_d = sorted(range(len(dcols)), key=lambda i: dcols[i])
+            s_lines = sorted("|".join(canon(r[i]) for i in order_s)
+                             for r in srows)
+            d_lines = sorted("|".join(canon(r[i]) for i in order_d)
+                             for r in drows)
+            shown = 0
+            for a, b in zip(s_lines, d_lines):
+                if a != b and shown < 3:
+                    print("   spark: %s\n   duck : %s" % (a[:200], b[:200]))
+                    shown += 1
+    print("\n%d failures" % len(failures))
+    spark.stop()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,75 @@
+"""Materialize the committed parquet fixtures used by the extraction
+queries in __spark_entry__ (so the driver's DuckDB oracle can read the
+same tables by absolute path):
+
+    tests/fixtures/pages.parquet    the 30-row pages corpus
+    tests/fixtures/oracle.parquet   url, extracted, parse_ok, n_objects,
+                                    n_pages (from tests/golden/)
+
+Usage: python tools/make_fixtures.py   (after tools/make_oracle.py)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pdf4py_spark.sources.corpus import corpus_rows  # noqa: E402
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+FIXTURE_DIR = os.path.join(ROOT, "tests", "fixtures")
+GOLDEN_DIR = os.path.join(ROOT, "tests", "golden")
+
+
+def main():
+    os.makedirs(FIXTURE_DIR, exist_ok=True)
+    rows = corpus_rows()
+    pages = pa.table({
+        "url": pa.array([r[0] for r in rows], pa.string()),
+        "warc_ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "html": pa.array([r[2] for r in rows], pa.binary()),
+        "text": pa.array([r[3] for r in rows], pa.string()),
+        "lang": pa.array([r[4] for r in rows], pa.string()),
+    })
+    pq.write_table(pages, os.path.join(FIXTURE_DIR, "pages.parquet"))
+
+    with open(os.path.join(GOLDEN_DIR, "manifest.json")) as fh:
+        manifest = json.load(fh)
+    urls, extracted, md5s, ok, n_objects, n_pages = [], [], [], [], [], []
+    for url, entry in sorted(manifest.items()):
+        urls.append(url)
+        ok.append(entry["parse_ok"])
+        if entry["parse_ok"]:
+            with open(os.path.join(GOLDEN_DIR, entry["bin"]), "rb") as fh:
+                data = fh.read()
+            extracted.append(data)
+            md5s.append(hashlib.md5(data).hexdigest())
+            n_objects.append(entry["n_objects"])
+            n_pages.append(entry["n_pages"])
+        else:
+            extracted.append(None)
+            md5s.append(None)
+            n_objects.append(None)
+            n_pages.append(None)
+    oracle = pa.table({
+        "url": pa.array(urls, pa.string()),
+        "extracted": pa.array(extracted, pa.binary()),
+        "extracted_md5": pa.array(md5s, pa.string()),
+        "parse_ok": pa.array(ok, pa.bool_()),
+        "n_objects": pa.array(n_objects, pa.int32()),
+        "n_pages": pa.array(n_pages, pa.int32()),
+    })
+    pq.write_table(oracle, os.path.join(FIXTURE_DIR, "oracle.parquet"))
+    print("wrote %d pages rows, %d oracle rows -> %s"
+          % (len(rows), len(urls), FIXTURE_DIR))
+
+
+if __name__ == "__main__":
+    main()
