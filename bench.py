@@ -1,0 +1,175 @@
+"""Benchmark driver: headline extraction throughput + operator suite.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": <total suite sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <sf>,
+     "extract": {"docs": N, "docs_per_sec": X, "mb_per_sec": Y}, ...}
+
+Env / flags:
+    SPARK_GRAFT_SF_DIR   input tables dir (default /root/testdata/sf0.1)
+    SPARK_GRAFT_CPUS     local[] parallelism (default 32)
+    --suite extract      only the extraction throughput job (used by
+                         tools/bench_scaling.py for the N vs 4N runs)
+    --copies K           corpus amplification factor (default 100)
+
+The extraction workload is the amplified reference corpus (every payload
+re-emitted under distinct urls), so the measured job is exactly the
+byte-identity kernel on real PDFs/HTML, reading parquet, through the
+size-salted shuffle, Arrow-batched. A checksum aggregate forces full
+materialization and guards against silent wrong results while timing.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REFERENCE_BASELINE_DOCS_PER_SEC = 0.98  # single-core pdf4py full-graph parse
+                                        # (SURVEY.md §6, measured)
+
+
+def build_session(cpus: int):
+    from pyspark.sql import SparkSession
+    return (SparkSession.builder.master("local[%d]" % cpus)
+            .appName("pdf4py-spark-bench")
+            .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 8)))
+            .config("spark.sql.adaptive.enabled", "true")
+            .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+            .config("spark.sql.execution.arrow.maxRecordsPerBatch", "32")
+            .config("spark.buffer.size", "1048576")
+            .config("spark.python.unix.domain.socket.enabled", "true")
+            .config("spark.driver.memory", "16g")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate())
+
+
+def ensure_amplified_corpus(spark, copies: int) -> str:
+    """Materialize the amplified pages parquet once (cached across runs so
+    N-core and 4N-core benches read identical bytes)."""
+    path = "/tmp/pdf4py_spark_bench/pages_x%d.parquet" % copies
+    marker = path + ".done"
+    if not os.path.exists(marker):
+        from pdf4py_spark.sources.pages import amplified_pages_df
+        amplified_pages_df(spark, copies).write.mode("overwrite").parquet(path)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return path
+
+
+def bench_extract(spark, copies: int):
+    from pyspark.sql import functions as F
+    from pdf4py_spark.plans.pipeline import extract_pages
+
+    src = ensure_amplified_corpus(spark, copies)
+    pages = spark.read.parquet(src)
+    n_docs = pages.count()
+    total_bytes = pages.select(
+        F.sum(F.octet_length("html"))).collect()[0][0]
+    from pdf4py_spark.sources.pages import amplified_passwords_df
+    passwords = amplified_passwords_df(spark, copies)
+    # fine-grained partitions: the per-doc cost tail (2.5 MB PDFs take
+    # ~2 s each) must spread 1-2 docs per partition or it becomes the
+    # wall-clock floor at high core counts
+    cpus = spark.sparkContext.defaultParallelism
+    n_parts = min(max(cpus * 8, n_docs // 2), 4096)
+    start = time.perf_counter()
+    result = extract_pages(pages, num_partitions=n_parts,
+                           passwords=passwords)
+    stats = result.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("parse_ok").cast("long")).alias("n_ok"),
+        F.sum("bytes_out").alias("bytes_out"),
+        F.sum(F.crc32(F.coalesce(F.col("extracted"), F.lit(b""))))
+        .alias("checksum")).collect()[0]
+    wall = time.perf_counter() - start
+    assert stats["n"] == n_docs, "row loss in extraction"
+    return {
+        "docs": n_docs,
+        "input_mb": round(total_bytes / 1e6, 1),
+        "sec": round(wall, 3),
+        "docs_per_sec": round(n_docs / wall, 2),
+        "mb_per_sec": round(total_bytes / 1e6 / wall, 2),
+        "ok_fraction": round(stats["n_ok"] / n_docs, 4),
+        "bytes_out": int(stats["bytes_out"]),
+        "checksum": int(stats["checksum"]),
+        "speedup_vs_reference_single_core": round(
+            (n_docs / wall) / REFERENCE_BASELINE_DOCS_PER_SEC, 1),
+    }
+
+
+# operator queries timed at the SF dir (forced with a count)
+BENCH_QUERIES = (
+    "extract_html_roundtrip",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "ann_cosine_topk",
+    "ann_bucketed_topk",
+    "lang_id",
+    "text_quality",
+    "token_rollup",
+    "fingerprint",
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_orders_per_segment",
+    "events_hourly",
+    "sessionize",
+    "media_frame_sample",
+)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpus", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--sf-dir",
+                    default=os.environ.get("SPARK_GRAFT_SF_DIR",
+                                           "/root/testdata/sf0.1"))
+    ap.add_argument("--copies", type=int, default=100)
+    ap.add_argument("--suite", choices=("full", "extract"), default="full")
+    args = ap.parse_args()
+
+    spark = build_session(args.cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    out = {
+        "metric": "documents/sec extraction throughput "
+                  "(byte-identical text vs pdf4py reference)",
+        "unit": "sec",
+        "sf": args.sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+        "cpus": args.cpus,
+        "queries": {},
+    }
+    total = 0.0
+
+    extract_stats = bench_extract(spark, args.copies)
+    out["extract"] = extract_stats
+    out["queries"]["extract_corpus"] = extract_stats["sec"]
+    total += extract_stats["sec"]
+
+    if args.suite == "full":
+        import __spark_entry__ as entry_mod
+        queries = entry_mod.queries()
+        for name in BENCH_QUERIES:
+            fn = queries[name]
+            start = time.perf_counter()
+            df = fn(spark, args.sf_dir)
+            n = df.count()
+            sec = round(time.perf_counter() - start, 3)
+            out["queries"][name] = sec
+            out.setdefault("rows", {})[name] = n
+            total += sec
+
+    out["value"] = round(total, 3)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

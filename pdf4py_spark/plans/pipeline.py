@@ -111,7 +111,11 @@ def extract_pages(pages: DataFrame, num_partitions: int = None,
     if passwords is not None:
         slim = slim.join(F.broadcast(passwords), "url", "left")
     if num_partitions is None:
-        num_partitions = slim.sparkSession.sparkContext.defaultParallelism
+        # oversplit: per-document kernel cost varies ~1000x between a tiny
+        # HTML page and a 2.5 MB PDF, and docs of similar size share a
+        # range partition — many small partitions keep every core busy
+        # instead of leaving one straggler with all the heavy documents
+        num_partitions = slim.sparkSession.sparkContext.defaultParallelism * 8
     balanced = balanced_repartition(slim, num_partitions)
     return balanced.mapInPandas(_extract_batches, schema=EXTRACT_SCHEMA)
 

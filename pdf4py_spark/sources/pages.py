@@ -43,6 +43,19 @@ def passwords_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(rows, PASSWORDS_SCHEMA)
 
 
+def amplified_passwords_df(spark: SparkSession, copies: int) -> DataFrame:
+    """Credentials dimension matching amplified_pages_df's url scheme."""
+    rows = []
+    for url, pw in PASSWORDS.items():
+        name = url.rsplit("/", 1)[-1]
+        text = pw.decode("utf-8") if isinstance(pw, bytes) else pw
+        is_bytes = isinstance(pw, bytes)
+        for i in range(copies):
+            rows.append(("crawl://scale/dup-%06d-%s" % (i, name),
+                         text, is_bytes))
+    return spark.createDataFrame(rows, PASSWORDS_SCHEMA)
+
+
 def amplified_pages_df(spark: SparkSession, copies: int,
                        include_adversarial: bool = False) -> DataFrame:
     """Deterministic corpus amplifier for throughput runs: each parseable

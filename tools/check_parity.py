@@ -55,7 +55,9 @@ def main():
     spark = (SparkSession.builder.master("local[8]")
              .appName("parity-check")
              .config("spark.sql.shuffle.partitions", "16")
-             .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+             .config("spark.sql.execution.arrow.maxRecordsPerBatch", "32")
+             .config("spark.buffer.size", "1048576")
+             .config("spark.python.unix.domain.socket.enabled", "true")
              .config("spark.ui.enabled", "false")
              .config("spark.driver.memory", "8g")
              .getOrCreate())
