@@ -43,6 +43,7 @@ def build_session(cpus: int):
             .config("spark.sql.execution.arrow.maxRecordsPerBatch", "32")
             .config("spark.buffer.size", "1048576")
             .config("spark.python.unix.domain.socket.enabled", "true")
+            .config("spark.local.dir", "/dev/shm/spark-local")
             .config("spark.driver.memory", "16g")
             .config("spark.ui.enabled", "false")
             .getOrCreate())
