@@ -134,7 +134,15 @@ def main():
                                            "/root/testdata/sf0.1"))
     ap.add_argument("--copies", type=int, default=100)
     ap.add_argument("--suite", choices=("full", "extract"), default="full")
+    ap.add_argument("--bind-cores", action="store_true",
+                    help="pin this process (and the JVM/python workers it "
+                         "spawns) to exactly --cpus cores, so local[N] "
+                         "means N cores, not N task slots on all cores — "
+                         "the faithful N-vs-4N-cores methodology")
     args = ap.parse_args()
+
+    if args.bind_cores and hasattr(os, "sched_setaffinity"):
+        os.sched_setaffinity(0, set(range(args.cpus)))
 
     spark = build_session(args.cpus)
     spark.sparkContext.setLogLevel("ERROR")
