@@ -1,0 +1,87 @@
+"""Operator invariants at sf0.001 (cross-engine equivalence is covered by
+tools/check_parity.py; these pin Spark-side semantics independently)."""
+
+import os
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF), reason="driver testdata not available")
+
+
+@pytest.fixture(scope="module")
+def queries():
+    from pdf4py_spark.operators import all_queries
+    return all_queries()
+
+
+def test_dedup_exact_finds_injected_duplicates(spark, queries):
+    rows = queries["dedup_exact"].fn(spark, SF).collect()
+    # every text appears exactly twice (original + injected copy),
+    # canonical id is always the original (< 1000000)
+    assert all(r["n_copies"] >= 2 for r in rows)
+    assert all(r["canonical_id"] < 1000000 for r in rows)
+    n_docs = spark.read.parquet(SF + "/documents.parquet").count()
+    assert sum(r["n_copies"] for r in rows) == 2 * n_docs
+
+
+def test_minhash_lsh_pairs_are_verified_neardups(spark, queries):
+    df = queries["dedup_minhash_lsh"].fn(spark, SF)
+    rows = df.limit(5000).collect()
+    assert rows, "expected candidate near-dup pairs on this corpus"
+    for r in rows[:200]:
+        assert r["id_a"] < r["id_b"]
+        assert 0.5 <= r["jaccard"] <= 1.0
+
+
+def test_simhash_range_and_determinism(spark, queries):
+    a = {r["doc_id"]: r["simhash16"] for r in
+         queries["dedup_simhash"].fn(spark, SF).collect()}
+    b = {r["doc_id"]: r["simhash16"] for r in
+         queries["dedup_simhash"].fn(spark, SF).collect()}
+    assert a == b
+    assert all(0 <= v <= 0xFFFF for v in a.values())
+
+
+def test_ann_topk_shape(spark, queries):
+    rows = queries["ann_cosine_topk"].fn(spark, SF).collect()
+    by_query = {}
+    for r in rows:
+        by_query.setdefault(r["query_id"], []).append(r)
+        assert -1.0 <= r["cosine"] <= 1.0
+        assert r["neighbor_id"] != r["query_id"]
+    for q, rs in by_query.items():
+        assert sorted(x["rank"] for x in rs) == [1, 2, 3]
+        ordered = sorted(rs, key=lambda x: x["rank"])
+        assert ordered[0]["cosine"] >= ordered[1]["cosine"] >= \
+            ordered[2]["cosine"]
+
+
+def test_lang_id_codes(spark, queries):
+    rows = queries["lang_id"].fn(spark, SF).collect()
+    assert {r["predicted_lang"] for r in rows} <= \
+        {"en", "es", "de", "fr", "und"}
+    assert len(rows) == spark.read.parquet(SF + "/documents.parquet").count()
+
+
+def test_sessionize_partitions_events(spark, queries):
+    rows = queries["sessionize"].fn(spark, SF).collect()
+    total = spark.read.parquet(SF + "/events.parquet").count()
+    assert sum(r["n_events"] for r in rows) == total
+    assert all(r["duration_sec"] >= 0 for r in rows)
+
+
+def test_media_frame_sample_plumbing(spark, queries):
+    rows = queries["media_frame_sample"].fn(spark, SF).collect()
+    assert rows
+    assert all(0 <= r["frame_idx"] < 4 for r in rows)
+    assert all(len(r["frame_md5"]) == 32 for r in rows)
+
+
+def test_no_query_uses_row_python(spark, queries):
+    """Every operator plan stays Arrow-batched or pure JVM."""
+    from pdf4py_spark.functions import assert_no_per_row_python
+    for name, spec in queries.items():
+        assert_no_per_row_python(spec.fn(spark, SF))
