@@ -47,14 +47,17 @@ def resume_key(n_buckets: int = DEFAULT_RESUME_BUCKETS) -> Column:
 
 
 def balanced_repartition(df, num_partitions: int):
-    """Skew-aware shuffle: range-partition on (size_bucket, salt) so each
-    partition holds docs of similar byte size and every bucket spreads
-    across partitions proportionally to its row count. The single shuffle
-    in the extraction plan."""
+    """Skew-aware shuffle: hash-partition on (size_bucket, salt). Salting
+    by url spreads the per-size clusters uniformly; hashing (instead of
+    range partitioning) avoids the extra full-input sampling scan that
+    RangePartitioner needs to compute bounds — a pure constant cost at
+    any cluster size. The single shuffle in the extraction plan; worker
+    memory stays bounded by the Arrow record cap (32 rows/batch), not by
+    partition composition."""
     return (
         df.withColumn("_size_bucket", size_bucket())
           .withColumn("_salt", url_salt())
-          .repartitionByRange(num_partitions, "_size_bucket", "_salt")
+          .repartition(num_partitions, F.col("_size_bucket"), F.col("_salt"))
           .drop("_size_bucket", "_salt")
     )
 
