@@ -18,6 +18,7 @@ def spark():
         .config("spark.buffer.size", "1048576")
         .config("spark.python.unix.domain.socket.enabled", "true")
         .config("spark.local.dir", "/dev/shm/spark-local")
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "4g")
         .getOrCreate()
