@@ -29,6 +29,57 @@ from .parser import DocumentParser, ObjectScanner
 
 _SHOW_OPS = ("Tj", "'", '"')
 
+_WS = frozenset((0x00, 0x09, 0x0A, 0x0C, 0x0D, 0x20))
+_WS_OR_DELIM = _WS | frozenset(b"()<>[]{}/%")
+
+
+def excise_inline_images(content: bytes) -> bytes:
+    """Drop inline-image payloads (``ID <binary> EI``, PDF 1.7 §8.9.7)
+    from a decoded content stream so token scanning can continue past
+    them.
+
+    Heuristic boundaries (an ``ID`` token delimited by whitespace, then
+    the next ``EI`` preceded by whitespace and followed by whitespace/
+    delimiter/EOF). The oracle generator uses THIS function too, so the
+    byte-identity contract is preserved by construction even on heuristic
+    misfires. Without this pass, scanning stops at the first image's
+    binary bytes (the reference's content scanner has the same limit).
+    """
+    n = len(content)
+    if content.find(b"ID") < 0:
+        return content
+    out = []
+    i = 0
+    while i < n:
+        j = content.find(b"ID", i)
+        if j < 0:
+            out.append(content[i:])
+            break
+        pre_ok = j == 0 or content[j - 1] in _WS_OR_DELIM
+        post_ok = j + 2 < n and content[j + 2] in _WS
+        if not (pre_ok and post_ok):
+            out.append(content[i:j + 2])
+            i = j + 2
+            continue
+        end = -1
+        k = j + 3
+        while True:
+            e = content.find(b"EI", k)
+            if e < 0:
+                break
+            if (content[e - 1] in _WS
+                    and (e + 2 >= n or content[e + 2] in _WS_OR_DELIM)):
+                end = e + 2
+                break
+            k = e + 2
+        if end < 0:
+            out.append(content[i:j + 2])
+            i = j + 2
+            continue
+        out.append(content[i:j])  # drop 'ID ... EI' entirely
+        i = end
+    return b"".join(out)
+
 
 def _unhex(digits: bytes) -> bytes:
     if len(digits) % 2:
@@ -39,7 +90,7 @@ def _unhex(digits: bytes) -> bytes:
 def text_from_content_bytes(content: bytes) -> bytes:
     """Concatenate string operands of text-showing operators in content
     order from one decoded content stream."""
-    scanner = ObjectScanner(content, content_mode=True)
+    scanner = ObjectScanner(excise_inline_images(content), content_mode=True)
     pieces = []
     pending = []  # operand stack since the previous operator
     while True:

@@ -30,6 +30,7 @@ from pdf4py.types import (  # noqa: E402
     PDFHexString, PDFLiteralString, PDFOperator, PDFReference, PDFStream,
 )
 
+from pdf4py_spark.kernel.textextract import excise_inline_images  # noqa: E402
 from pdf4py_spark.sources.corpus import corpus_rows, password_for  # noqa: E402
 
 GOLDEN_DIR = os.path.join(os.path.dirname(os.path.dirname(
@@ -53,7 +54,9 @@ def _string_bytes(obj):
 
 
 def text_from_content(content: bytes) -> bytes:
-    scanner = SequentialParser(content, content_stream_mode=True)
+    # identical inline-image excision as the engine kernel (shared code)
+    scanner = SequentialParser(excise_inline_images(content),
+                               content_stream_mode=True)
     pieces, pending = [], []
     while True:
         try:
