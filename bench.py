@@ -112,6 +112,7 @@ BENCH_QUERIES = (
     "dedup_ngram_jaccard",
     "ann_cosine_topk",
     "ann_bucketed_topk",
+    "ann_lsh_topk",
     "lang_id",
     "text_quality",
     "token_rollup",

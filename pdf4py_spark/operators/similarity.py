@@ -135,8 +135,96 @@ WHERE ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
 """
 
 
+N_PLANES = 6
+
+# deterministic pseudo-random hyperplane component in [-8.5, 7.5): the
+# first hex digit of md5('<plane>#<dim>') shifted to be zero-mean-ish.
+# Integer-derived, so both engines agree bit-exactly on every component.
+_PLANE_COMPONENT = (
+    "position(substring(md5(concat(cast(p as string), '#',"
+    " cast(d as string))), 1, 1) IN '0123456789abcdef') - 8.5")
+
+
+def ann_lsh_topk(spark, sf_dir):
+    """Random-hyperplane LSH ANN: each vector gets an N_PLANES-bit bucket
+    (sign of dot(vec, plane)); probes search only their own bucket, then
+    exact cosine ranks the candidates. The classic sublinear scale path:
+    bucket population ~ n / 2^planes, so the join cost is
+    sum_b(q_b * n_b), never q*n."""
+    emb = table(spark, sf_dir, "embeddings")
+    comps = (emb
+             .withColumn("p", F.explode(
+                 F.expr("sequence(0, %d)" % (N_PLANES - 1))))
+             .withColumn("dv", F.explode(F.expr(
+                 "transform(cast(embedding as array<double>),"
+                 " (x, i) -> struct(i as d, x as v))")))
+             .select("vec_id", "p", F.col("dv.d").alias("d"),
+                     F.col("dv.v").alias("v")))
+    dots = (comps
+            .withColumn("contrib", F.col("v") * F.expr(_PLANE_COMPONENT))
+            .groupBy("vec_id", "p").agg(F.sum("contrib").alias("dot")))
+    sigs = (dots.groupBy("vec_id").agg(
+        F.sum(F.when(F.col("dot") > 0,
+                     F.expr("cast(pow(2, p) as bigint)")).otherwise(0))
+        .alias("bucket")))
+    keyed = emb.join(sigs, "vec_id")
+    queries = keyed.where("vec_id % 50 = 0").selectExpr(
+        "vec_id AS query_id", "embedding AS qe", "bucket")
+    corpus = keyed.selectExpr(
+        "vec_id AS neighbor_id", "embedding AS ne", "bucket")
+    pairs = (queries.join(corpus, "bucket")
+             .where("query_id <> neighbor_id")
+             .selectExpr("query_id", "neighbor_id", _COS + " AS cosine"))
+    return _ranked(pairs)
+
+
+ANN_LSH_SQL = """
+WITH comps AS (
+  SELECT vec_id, planes.p AS p, dims.d AS d,
+         embedding[dims.d + 1]::DOUBLE AS v
+  FROM embeddings
+  CROSS JOIN range(0, {nplanes}) AS planes(p)
+  CROSS JOIN range(0, 64) AS dims(d)
+),
+dots AS (
+  SELECT vec_id, p,
+         SUM(v * (position(substring(md5(CAST(p AS VARCHAR) || '#' ||
+                   CAST(d AS VARCHAR)), 1, 1) IN '0123456789abcdef')
+                  - 8.5)) AS dot
+  FROM comps GROUP BY vec_id, p
+),
+sigs AS (
+  SELECT vec_id,
+         SUM(CASE WHEN dot > 0 THEN CAST(pow(2, p) AS BIGINT)
+                  ELSE 0 END) AS bucket
+  FROM dots GROUP BY vec_id
+),
+keyed AS (
+  SELECT e.vec_id, e.embedding, s.bucket
+  FROM embeddings e JOIN sigs s ON e.vec_id = s.vec_id
+),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+                sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))),
+               4) AS cosine
+  FROM keyed q JOIN keyed c ON q.bucket = c.bucket
+  WHERE q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 3
+""".format(nplanes=N_PLANES)
+
+
 QUERIES = {
     "ann_cosine_topk": QuerySpec(ann_cosine_topk, ANN_TOPK_SQL),
     "ann_bucketed_topk": QuerySpec(ann_bucketed_topk, ANN_BUCKETED_SQL),
+    "ann_lsh_topk": QuerySpec(ann_lsh_topk, ANN_LSH_SQL),
     "embedding_neardup": QuerySpec(embedding_neardup, EMBEDDING_NEARDUP_SQL),
 }
