@@ -188,8 +188,58 @@ FROM sessions GROUP BY user_id, session_seq
 """
 
 
+def pricing_cube(spark, sf_dir):
+    """Grouping sets: CUBE over (returnflag, linestatus) with decimal-exact
+    sums and grouping-id markers."""
+    li = table(spark, sf_dir, "lineitem")
+    return (li.cube("l_returnflag", "l_linestatus")
+            .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+                 .cast("decimal(38,2)").alias("sum_qty"),
+                 F.count("*").alias("n_items"),
+                 F.grouping("l_returnflag").cast("int").alias("g_flag"),
+                 F.grouping("l_linestatus").cast("int").alias("g_status")))
+
+
+PRICING_CUBE_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,2))
+         AS sum_qty,
+       COUNT(*) AS n_items,
+       CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INT) AS g_status
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def order_key_set_ops(spark, sf_dir):
+    """Set operations: customers ordering in the URGENT tier INTERSECT the
+    high-value tier, minus the LOW tier (intersect/except on key sets)."""
+    orders = table(spark, sf_dir, "orders")
+    urgent = orders.where("o_orderpriority like '1%'") \
+        .select("o_custkey").distinct()
+    high_value = orders.where("o_totalprice > 200000") \
+        .select("o_custkey").distinct()
+    low = orders.where("o_orderpriority like '5%'") \
+        .select("o_custkey").distinct()
+    return (urgent.intersect(high_value).exceptAll(low)
+            .select(F.col("o_custkey").alias("custkey")))
+
+
+SET_OPS_SQL = """
+SELECT o_custkey AS custkey FROM (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority LIKE '1%'
+  INTERSECT
+  SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 200000
+  EXCEPT
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority LIKE '5%'
+)
+"""
+
+
 QUERIES = {
     "pricing_summary": QuerySpec(pricing_summary, PRICING_SQL),
+    "pricing_cube": QuerySpec(pricing_cube, PRICING_CUBE_SQL),
+    "order_key_set_ops": QuerySpec(order_key_set_ops, SET_OPS_SQL),
     "revenue_by_nation": QuerySpec(revenue_by_nation, REVENUE_SQL),
     "top_orders_per_segment": QuerySpec(top_orders_per_segment,
                                         TOP_ORDERS_SQL),
