@@ -90,3 +90,25 @@ def extract_html_text(payload: bytes) -> bytes:
     collector.feed(text)
     collector.close()
     return "\n".join(collector.blocks).encode("utf-8")
+
+
+#: a block survives density selection when it is at least this fraction
+#: of the longest block's length (deterministic text-density heuristic)
+DENSITY_RATIO = 0.25
+
+
+def extract_html_main(payload: bytes) -> bytes:
+    """Main-content selection: boilerplate-strip, then keep only the
+    text-dense blocks (>= DENSITY_RATIO of the longest block). Drops the
+    short navigational/promo fragments that survive tag-based stripping
+    (the second stage of classic boilerplate removal)."""
+    text = payload.decode("utf-8")
+    collector = _ContentCollector()
+    collector.feed(text)
+    collector.close()
+    blocks = collector.blocks
+    if not blocks:
+        return b""
+    threshold = max(len(b) for b in blocks) * DENSITY_RATIO
+    dense = [b for b in blocks if len(b) >= threshold]
+    return "\n".join(dense).encode("utf-8")

@@ -145,9 +145,54 @@ FROM expected GROUP BY doc_kind, status
 """.format(pages=FIXTURE_PAGES, oracle=FIXTURE_ORACLE)
 
 
+# wrapper whose promo/menu fragments survive tag-based stripping but are
+# short enough that density selection always drops them (every document
+# text is >= 48 chars, so the 25% threshold is >= 12 > len('Menu'))
+_WRAP_NOISY = (
+    "concat('<html><body><div>Promo</div><div>Menu</div>"
+    "<article><p>', text, '</p></article>"
+    "<div>More</div><div>Links</div></body></html>')"
+)
+
+
+def _main_strip_batches(batches):
+    import pandas as pd
+    from pdf4py_spark.kernel.htmlextract import extract_html_main
+
+    for pdf in batches:
+        out = {"url": [], "extracted_utf8": []}
+        for url, payload in zip(pdf["url"], pdf["html"]):
+            out["url"].append(url)
+            out["extracted_utf8"].append(
+                extract_html_main(payload).decode("utf-8"))
+        yield pd.DataFrame(out)
+
+
+def extract_html_main_roundtrip(spark, sf_dir):
+    """Text-density main-content selection: short navigational fragments
+    that survive tag stripping are dropped by the density stage, so the
+    noisy wrapper still round-trips to exactly the original text."""
+    docs = table(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string"))
+        .alias("url"),
+        F.encode(F.expr(_WRAP_NOISY), "utf-8").alias("html"))
+    return pages.repartition(8).mapInPandas(
+        _main_strip_batches, schema="url string, extracted_utf8 string")
+
+
+EXTRACT_HTML_MAIN_SQL = """
+SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
+       text AS extracted_utf8
+FROM documents
+"""
+
+
 QUERIES = {
     "extract_html_roundtrip": QuerySpec(extract_html_roundtrip,
                                         EXTRACT_HTML_SQL),
+    "extract_html_main_roundtrip": QuerySpec(extract_html_main_roundtrip,
+                                             EXTRACT_HTML_MAIN_SQL),
     "extract_stats_by_lang": QuerySpec(extract_stats_by_lang,
                                        EXTRACT_STATS_SQL),
     "extract_pdf_census": QuerySpec(extract_pdf_census, PDF_CENSUS_SQL),

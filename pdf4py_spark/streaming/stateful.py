@@ -55,11 +55,22 @@ def assemble_sessions(key, batches, state: GroupState):
                 closed.append((user_id, start_us, last_us, n))
                 start_us, last_us, n = us, us, 1
             else:
-                last_us, n = us, n + 1
+                # an out-of-order event (us <= last_us, possible across
+                # micro-batches) joins the open session without running
+                # the clock backwards
+                n += 1
+                if us < start_us:
+                    start_us = us
+                if us > last_us:
+                    last_us = us
         if start_us is not None:
             state.update((start_us, last_us, n))
-            # close via event-time timeout once the watermark passes the gap
-            state.setTimeoutTimestamp(last_us // 1000 + GAP_US // 1000)
+            # close via event-time timeout once the watermark passes the
+            # gap; never earlier than the current watermark (a group whose
+            # last event trails the watermark must still get a valid timer)
+            deadline_ms = last_us // 1000 + GAP_US // 1000
+            wm_ms = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(deadline_ms, wm_ms + 1000))
 
     if closed:
         yield pd.DataFrame(closed, columns=[
