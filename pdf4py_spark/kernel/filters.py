@@ -179,16 +179,24 @@ def lzw_decode(data: bytes, params: dict) -> bytes:
             if code == 257:
                 return _apply_predictor(bytes(out), params)
             if prev_entry is None:
+                if code >= len(table):
+                    raise KernelError(f"LZWDecode: invalid code {code}")
                 entry = table[code]
             elif code < len(table):
                 entry = table[code]
                 table.append(prev_entry + entry[:1])
-            else:
+            elif code == len(table):   # KwKwK: the entry being defined
                 entry = prev_entry + prev_entry[:1]
                 table.append(entry)
+            else:
+                raise KernelError(
+                    f"LZWDecode: code {code} beyond table ({len(table)})")
             out.extend(entry)
             prev_entry = entry
-            if len(table) + early - 1 >= (1 << width) and width < 12:
+            # Bump when the next assignable code reaches 2^width - EarlyChange
+            # (standard convention: with EarlyChange=1, widths grow at table
+            # lengths 511/1023/2047 as in pdf.js / pdfminer).
+            if len(table) + early >= (1 << width) and width < 12:
                 width += 1
     return _apply_predictor(bytes(out), params)
 

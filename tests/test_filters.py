@@ -75,14 +75,32 @@ def test_unknown_filter():
 
 
 def _lzw_encode(data: bytes, early: int = 1) -> bytes:
-    """Minimal spec-faithful LZW encoder used only to pin the decoder."""
+    """Minimal spec-faithful LZW encoder used only to pin the decoder.
+
+    Width management mirrors the decoder exactly: the decoder grows its
+    table on every data code after the first (including the encoder's
+    final flush code) and bumps the width when table_len + EarlyChange
+    reaches 2^width — the standard 511/1023/2047 convention at
+    EarlyChange=1.
+    """
     table = {bytes([i]): i for i in range(256)}
     next_code = 258
     width = 9
     out_bits = []
+    dec_len = 258      # decoder's table length, tracked in lockstep
+    n_data_codes = 0
 
     def emit(code):
         out_bits.extend((code >> (width - 1 - k)) & 1 for k in range(width))
+
+    def emit_data(code):
+        nonlocal dec_len, width, n_data_codes
+        emit(code)
+        n_data_codes += 1
+        if n_data_codes > 1:
+            dec_len += 1
+        if dec_len + early >= (1 << width) and width < 12:
+            width += 1
 
     emit(256)
     cur = b""
@@ -91,14 +109,13 @@ def _lzw_encode(data: bytes, early: int = 1) -> bytes:
         if probe in table:
             cur = probe
         else:
-            emit(table[cur])
-            table[probe] = next_code
-            next_code += 1
-            if next_code + early - 1 > (1 << width) and width < 12:
-                width += 1
+            emit_data(table[cur])
+            if next_code < 4096:   # 12-bit ceiling: freeze table when full
+                table[probe] = next_code
+                next_code += 1
             cur = bytes([b])
     if cur:
-        emit(table[cur])
+        emit_data(table[cur])
     emit(257)
     while len(out_bits) % 8:
         out_bits.append(0)
@@ -131,3 +148,54 @@ def test_lzw_code_equals_next_entry():
     # the KwKwK case: code referencing the entry being defined
     encoded = _pack9([256, 45, 258, 257])
     assert lzw_decode(encoded, {}) == b"---"
+
+
+def _pack_varwidth(codes_widths):
+    bits = "".join(format(c, f"0{w}b") for c, w in codes_widths)
+    bits += "0" * (-len(bits) % 8)
+    return bytes(int(bits[i:i + 8], 2) for i in range(0, len(bits), 2 * 4))
+
+
+def _literal_stream(n_codes: int, early: int):
+    """Build an LZW stream of n_codes literal byte codes straight from the
+    PDF-spec convention, independently of _lzw_encode: the decoder's table
+    has 258 entries after CLEAR and grows by one on every literal after the
+    first, so code k (1-based) is read at width w where the table length
+    before it is 258 + max(k - 2, 0) and widths bump when
+    table_len + EarlyChange reaches 2^w (511/1023/2047 at EarlyChange=1)."""
+    out = [(256, 9)]
+    width = 9
+    dec_len = 258
+    for k in range(1, n_codes + 1):
+        out.append((k % 251, width))   # literal codes < 256
+        if k > 1:
+            dec_len += 1
+        if dec_len + early >= (1 << width) and width < 12:
+            width += 1
+    out.append((257, width))
+    return _pack_varwidth(out), bytes((k % 251) for k in range(1, n_codes + 1))
+
+
+def test_lzw_width_bump_boundary_earlychange1():
+    # 300 literals crosses the 511-entry boundary: with EarlyChange=1 the
+    # decoder must switch to 10-bit reads starting at literal #255
+    # (table length 511 after literal #254). pdf.js/pdfminer convention.
+    encoded, expect = _literal_stream(300, early=1)
+    assert lzw_decode(encoded, {"EarlyChange": 1}) == expect
+    assert lzw_decode(encoded, {}) == expect  # default EarlyChange is 1
+
+
+def test_lzw_width_bump_boundary_earlychange0():
+    # with EarlyChange=0 the bump happens one code later (table length 512)
+    encoded, expect = _literal_stream(300, early=0)
+    assert lzw_decode(encoded, {"EarlyChange": 0}) == expect
+
+
+def test_lzw_roundtrip_across_all_width_bumps():
+    # incompressible-ish stream long enough to push the table past 2047
+    import random
+    rng = random.Random(7)
+    raw = bytes(rng.randrange(256) for _ in range(6000))
+    for early in (0, 1):
+        assert lzw_decode(_lzw_encode(raw, early),
+                          {"EarlyChange": early}) == raw
