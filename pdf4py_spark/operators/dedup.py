@@ -224,7 +224,8 @@ votes AS (
   SELECT doc_id, bitpos, SUM(contrib) AS s FROM bits GROUP BY doc_id, bitpos
 )
 SELECT doc_id,
-       SUM(CASE WHEN s > 0 THEN CAST(pow(2, bitpos) AS BIGINT) ELSE 0 END)
+       CAST(SUM(CASE WHEN s > 0 THEN CAST(pow(2, bitpos) AS BIGINT)
+                     ELSE 0 END) AS BIGINT)
          AS simhash16
 FROM votes GROUP BY doc_id
 """

@@ -67,7 +67,10 @@ def extract_stats_by_lang(spark, sf_dir):
     pages = _docs_as_pages(spark, sf_dir)
     result = extract_pages(pages, num_partitions=8)
     langs = pages.select("url", "lang")
-    return (result.join(langs, "url")
+    # project the narrow columns BEFORE the join so the extracted binary
+    # payload never rides the join/aggregate shuffle
+    slim = result.select("url", "bytes_out", "parse_ok")
+    return (slim.join(langs, "url")
             .groupBy("lang")
             .agg(F.count("*").alias("n_docs"),
                  F.sum(F.col("bytes_out")).alias("bytes_out_sum"),
@@ -76,7 +79,7 @@ def extract_stats_by_lang(spark, sf_dir):
 
 EXTRACT_STATS_SQL = """
 SELECT lang, COUNT(*) AS n_docs,
-       SUM(CAST(length(text) AS BIGINT)) AS bytes_out_sum,
+       CAST(SUM(length(text)) AS BIGINT) AS bytes_out_sum,
        COUNT(*) AS n_ok
 FROM documents GROUP BY lang
 """

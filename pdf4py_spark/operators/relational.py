@@ -22,30 +22,35 @@ def pricing_summary(spark, sf_dir):
     dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
     # scales chosen so no rounding ever occurs (prices have 2 decimals,
     # discounts 2, so the product has exactly 4): engines agree bit-exactly
+    # internal math stays DECIMAL (exact, order-insensitive); only the
+    # OUTPUT column is cast to double/rounded so both engines' client fetch
+    # paths materialize the identical float64 (DuckDB renders any SUM as
+    # HUGEINT/DECIMAL(38,x) -> float64 through pandas; Spark would return
+    # Decimal objects — same value, different repr, hash mismatch)
     return (li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
             .groupBy("l_returnflag", "l_linestatus")
             .agg(
-                F.sum(dec("l_quantity")).cast("decimal(38,2)")
+                F.round(F.sum(dec("l_quantity")).cast("double"), 2)
                 .alias("sum_qty"),
-                F.sum(dec("l_extendedprice")).cast("decimal(38,2)")
+                F.round(F.sum(dec("l_extendedprice")).cast("double"), 2)
                 .alias("sum_base_price"),
-                F.sum((dec("l_extendedprice")
-                       * (F.lit(1).cast("decimal(18,4)")
-                          - dec("l_discount"))).cast("decimal(18,4)"))
-                .cast("decimal(38,4)").alias("sum_disc_price"),
+                F.round(F.sum((dec("l_extendedprice")
+                               * (F.lit(1).cast("decimal(18,4)")
+                                  - dec("l_discount"))).cast("decimal(18,4)"))
+                        .cast("double"), 4).alias("sum_disc_price"),
                 F.count("*").alias("count_order")))
 
 
 PRICING_SQL = """
 SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,2))
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2)
          AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,2))
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2)
          AS sum_base_price,
-       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+       ROUND(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
                      (CAST(1 AS DECIMAL(18,4)) -
                       CAST(l_discount AS DECIMAL(18,4)))
-                     AS DECIMAL(18,4))) AS DECIMAL(38,4))
+                     AS DECIMAL(18,4))) AS DOUBLE), 4)
          AS sum_disc_price,
        COUNT(*) AS count_order
 FROM lineitem
@@ -71,15 +76,15 @@ def revenue_by_nation(spark, sf_dir):
             .groupBy(F.col("r_name").alias("region_name"),
                      F.col("n_name").alias("nation_name"))
             .agg(
-                F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
-                .cast("decimal(18,2)").alias("revenue"),
+                F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+                        .cast("double"), 2).alias("revenue"),
                 F.count("*").alias("n_orders"),
                 F.countDistinct("o_custkey").alias("n_customers")))
 
 
 REVENUE_SQL = """
 SELECT r_name AS region_name, n_name AS nation_name,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,2))
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2)
          AS revenue,
        COUNT(*) AS n_orders,
        COUNT(DISTINCT o_custkey) AS n_customers
@@ -103,14 +108,14 @@ def top_orders_per_segment(spark, sf_dir):
             .where("rank <= 3")
             .select(F.col("c_mktsegment").alias("segment"), "rank",
                     "o_orderkey",
-                    F.col("o_totalprice").cast("decimal(18,2)")
+                    F.round(F.col("o_totalprice").cast("double"), 2)
                     .alias("total_price")))
 
 
 TOP_ORDERS_SQL = """
 WITH ranked AS (
   SELECT c_mktsegment AS segment, o_orderkey,
-         CAST(o_totalprice AS DECIMAL(18,2)) AS total_price,
+         ROUND(CAST(o_totalprice AS DOUBLE), 2) AS total_price,
          ROW_NUMBER() OVER (PARTITION BY c_mktsegment
                             ORDER BY o_totalprice DESC, o_orderkey ASC)
            AS rank
@@ -124,22 +129,30 @@ def events_hourly(spark, sf_dir):
     """Tumbling 1-hour windows over the events stream table (the batch
     shape of the Structured Streaming aggregation)."""
     ev = table(spark, sf_dir, "events")
+    # hour_start is emitted as epoch MICROS (bigint), not a timestamp: the
+    # parquet column is TIMESTAMP_NTZ and a naked timestamp would collect
+    # in whatever session timezone the driver happens to run under.
+    # timestampdiff from the NTZ epoch is pure wall-clock arithmetic.
     return (ev.groupBy(
-        F.window("ts", "1 hour")["start"].alias("hour_start"),
-        "event_type")
+        F.window("ts", "1 hour")["start"].alias("hs"), "event_type")
         .agg(F.count("*").alias("n_events"),
-             F.sum(F.col("value").cast("decimal(18,4)"))
-             .cast("decimal(18,2)").alias("value_sum"),
-             F.countDistinct("user_id").alias("n_users")))
+             F.round(F.sum(F.col("value").cast("decimal(18,4)"))
+                     .cast("double"), 2).alias("value_sum"),
+             F.countDistinct("user_id").alias("n_users"))
+        .select(
+            F.expr("timestampdiff(MICROSECOND, "
+                   "TIMESTAMP_NTZ '1970-01-01 00:00:00', hs)")
+            .alias("hour_start_us"),
+            "event_type", "n_events", "value_sum", "n_users"))
 
 
 EVENTS_HOURLY_SQL = """
-SELECT date_trunc('hour', ts) AS hour_start, event_type,
+SELECT epoch_us(date_trunc('hour', ts)) AS hour_start_us, event_type,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,2))
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2)
          AS value_sum,
        COUNT(DISTINCT user_id) AS n_users
-FROM events GROUP BY date_trunc('hour', ts), event_type
+FROM events GROUP BY 1, 2
 """
 
 
@@ -159,7 +172,9 @@ def sessionize(spark, sf_dir):
                .withColumn("session_seq", F.sum("is_new").over(run_w)))
     return (flagged.groupBy("user_id", "session_seq")
             .agg(F.count("*").alias("n_events"),
-                 F.min("ts").alias("session_start"),
+                 F.expr("timestampdiff(MICROSECOND, "
+                        "TIMESTAMP_NTZ '1970-01-01 00:00:00', min(ts))")
+                 .alias("session_start_us"),
                  F.round(F.expr(
                      "timestampdiff(MICROSECOND, min(ts), max(ts))")
                      / 1000000.0, 3).alias("duration_sec")))
@@ -176,12 +191,13 @@ WITH flagged AS (
 ),
 sessions AS (
   SELECT user_id, ts,
-         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS UNBOUNDED PRECEDING) AS session_seq
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_seq
   FROM flagged
 )
 SELECT user_id, session_seq, COUNT(*) AS n_events,
-       MIN(ts) AS session_start,
+       epoch_us(MIN(ts)) AS session_start_us,
        ROUND(date_diff('microsecond', MIN(ts), MAX(ts)) / 1000000.0, 3)
          AS duration_sec
 FROM sessions GROUP BY user_id, session_seq
@@ -193,8 +209,8 @@ def pricing_cube(spark, sf_dir):
     sums and grouping-id markers."""
     li = table(spark, sf_dir, "lineitem")
     return (li.cube("l_returnflag", "l_linestatus")
-            .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)"))
-                 .cast("decimal(38,2)").alias("sum_qty"),
+            .agg(F.round(F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+                         .cast("double"), 2).alias("sum_qty"),
                  F.count("*").alias("n_items"),
                  F.grouping("l_returnflag").cast("int").alias("g_flag"),
                  F.grouping("l_linestatus").cast("int").alias("g_status")))
@@ -202,7 +218,7 @@ def pricing_cube(spark, sf_dir):
 
 PRICING_CUBE_SQL = """
 SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,2))
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2)
          AS sum_qty,
        COUNT(*) AS n_items,
        CAST(GROUPING(l_returnflag) AS INT) AS g_flag,

@@ -130,8 +130,8 @@ def token_rollup(spark, sf_dir):
 
 TOKEN_ROLLUP_SQL = """
 SELECT lang, source, COUNT(*) AS n_docs,
-       SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS n_tokens,
-       SUM(CAST(length(text) AS BIGINT)) AS n_chars_sum,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       CAST(SUM(length(text)) AS BIGINT) AS n_chars_sum,
        ROUND(AVG(len(string_split(text, ' '))), 4) AS avg_tokens
 FROM documents GROUP BY lang, source
 """

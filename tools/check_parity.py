@@ -23,21 +23,35 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
 
 
 def canon(v):
+    """TYPE-STRICT canonical repr: int vs float vs Decimal must NOT collapse
+    (the round-1 %.10g normalization masked exactly the int64/float64/Decimal
+    representation drift the driver's hash gate catches — VERDICT r01 #1)."""
     if v is None:
         return "~null~"
+    if hasattr(v, "item") and not isinstance(v, (bytes, str)):
+        try:
+            v = v.item()  # numpy scalars / pd.Timestamp passthrough below
+        except (ValueError, AttributeError):
+            pass
     if isinstance(v, float):
-        return "%.10g" % v
-    if isinstance(v, decimal.Decimal):
-        return "%.10g" % float(v)
+        if v != v:  # NaN (pandas null for numeric cols)
+            return "~null~"
+        return "f:" + repr(v)
     if isinstance(v, bool):
-        return "T" if v else "F"
+        return "b:T" if v else "b:F"
+    if isinstance(v, int):
+        return "i:%d" % v
+    if isinstance(v, decimal.Decimal):
+        return "d:" + str(v)
     if isinstance(v, bytes):
-        return v.hex()
+        return "x:" + v.hex()
     if isinstance(v, datetime.datetime):
-        return v.isoformat()
-    if hasattr(v, "item"):  # numpy scalars
-        return canon(v.item())
-    return str(v)
+        return "t:" + v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    if v.__class__.__module__.startswith("numpy"):  # ndarray cell
+        return "[" + ",".join(canon(x) for x in v.tolist()) + "]"
+    return "s:" + str(v)
 
 
 def table_hash(rows, colnames):
@@ -96,14 +110,21 @@ def main():
             cur = con.execute(sql)
             dcols = [d[0] for d in cur.description]
             drows = cur.fetchall()
+            # the driver may fetch DuckDB through pandas instead, where
+            # HUGEINT/DECIMAL render as float64 — require BOTH paths to
+            # agree with Spark so output types are provably fetch-stable
+            pdf = con.execute(sql).df()
+            prows = [tuple(t) for t in pdf.itertuples(index=False)]
         except Exception as exc:
             failures.append(name)
             print("%-28s DUCK-ERROR  %s" % (name, str(exc)[:160]))
             continue
         count_ok = len(srows) == len(drows)
         cols_ok = sorted(scols) == sorted(dcols)
-        hash_ok = (table_hash(srows, scols) == table_hash(drows, dcols)
-                   if count_ok and cols_ok else False)
+        shash = table_hash(srows, scols)
+        hash_ok = (count_ok and cols_ok
+                   and shash == table_hash(drows, dcols)
+                   and shash == table_hash(prows, list(pdf.columns)))
         status = "OK" if (count_ok and cols_ok and hash_ok) else "MISMATCH"
         if status != "OK":
             failures.append(name)
