@@ -69,7 +69,12 @@ def _frame_sample_batches(batches):
                 out["media_type"].append(mtype)
                 out["frame_idx"].append(idx)
                 out["frame_bytes"].append(len(frame))
-                out["frame_md5"].append(hashlib.md5(frame).hexdigest())
+                # digest of the LOWERCASE HEX of the frame bytes (not the
+                # raw bytes): this duckdb build has no md5(BLOB), and hex
+                # makes the fake sampler exactly SQL-expressible, so the
+                # driver gets a full value-hash gate instead of rows-only
+                out["frame_md5"].append(
+                    hashlib.md5(frame.hex().encode()).hexdigest())
         yield pd.DataFrame(out)
 
 
@@ -94,12 +99,34 @@ FROM documents
 
 def media_frame_sample(spark, sf_dir):
     """Arrow-batched frame sampling over the media table (the mapInPandas
-    plumbing for real decoders). Non-SQL-expressible: rows-only check."""
+    plumbing for real decoders). The deterministic byte-slice fake is
+    SQL-expressible, so it carries an exact DuckDB oracle."""
     media = media_table(spark, sf_dir).repartition(8, "doc_id")
     return media.mapInPandas(_frame_sample_batches, schema=FRAME_SCHEMA)
 
 
+MEDIA_FRAME_SQL = """
+WITH sized AS (
+  SELECT doc_id,
+         ['image/png', 'audio/wav', 'video/mp4', 'text/plain']
+           [CAST(doc_id % 4 AS INT) + 1] AS media_type,
+         lower(hex(encode(text))) AS hx,
+         GREATEST(octet_length(encode(text)) // 4, 1) AS step
+  FROM documents WHERE octet_length(encode(text)) > 0
+),
+frames AS (
+  SELECT doc_id, media_type, i AS frame_idx,
+         substring(hx, i * step * 2 + 1, step * 2) AS fh
+  FROM sized, (SELECT unnest(generate_series(0, 3)) AS i) g
+)
+SELECT doc_id, media_type, CAST(frame_idx AS INT) AS frame_idx,
+       CAST(length(fh) // 2 AS INT) AS frame_bytes,
+       md5(fh) AS frame_md5
+FROM frames WHERE length(fh) > 0
+"""
+
+
 QUERIES = {
     "media_metadata": QuerySpec(media_metadata, MEDIA_METADATA_SQL),
-    "media_frame_sample": QuerySpec(media_frame_sample, None),
+    "media_frame_sample": QuerySpec(media_frame_sample, MEDIA_FRAME_SQL),
 }
