@@ -23,7 +23,7 @@ def dispatch_kind(payload: Column = None) -> Column:
     """
     payload = F.col("html") if payload is None else payload
     return F.when(
-        F.expr("substring(html, 1, 5)") == F.lit(b"%PDF-"), F.lit("pdf")
+        F.substring(payload, 1, 5) == F.lit(b"%PDF-"), F.lit("pdf")
     ).otherwise(F.lit("html"))
 
 

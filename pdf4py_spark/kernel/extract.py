@@ -8,7 +8,6 @@ the reference's raise-with-context behavior, _lexer.py:205-227).
 
 from __future__ import annotations
 
-import sys
 import time
 from dataclasses import dataclass, field
 
@@ -19,9 +18,9 @@ from .textextract import extract_pdf_text
 
 PDF_MAGIC = b"%PDF-"
 
-# deep object graphs (nested arrays/dicts) recurse; one-time guard
-if sys.getrecursionlimit() < 20000:
-    sys.setrecursionlimit(20000)
+# deep object graphs are bounded by ObjectScanner.MAX_NESTING (a
+# quarantinable StructureError), so no global recursion-limit mutation is
+# needed — adversarial nesting can never reach the CPython C stack
 
 
 @dataclass

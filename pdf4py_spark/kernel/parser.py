@@ -36,12 +36,18 @@ class ObjectScanner:
     (parity: parser.py:173,340-346).
     """
 
+    #: max container nesting before a quarantinable StructureError: deep
+    #: enough for any real PDF, shallow enough that adversarial nesting can
+    #: never approach the CPython C-stack (no global recursionlimit mutation)
+    MAX_NESTING = 400
+
     def __init__(self, payload, stream_resolver=None, content_mode=True):
         self.tok = Tokenizer(payload)
         self.stream_resolver = stream_resolver
         self.security = None
         self.content_mode = content_mode
         self.done = False
+        self._depth = 0
         try:
             self.tok.next_token()
         except StopIteration:
@@ -67,6 +73,16 @@ class ObjectScanner:
         """
         if self.done:
             raise StopIteration
+        if self._depth >= self.MAX_NESTING:
+            raise StructureError(
+                "object nesting deeper than %d" % self.MAX_NESTING)
+        self._depth += 1
+        try:
+            return self._parse_inner(obj_id)
+        finally:
+            self._depth -= 1
+
+    def _parse_inner(self, obj_id=None):
         tok = self.tok
         cur = tok.cur
 

@@ -21,8 +21,10 @@ Design notes for 100 TB:
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
+import shutil
 import time
 
 import pandas as pd
@@ -175,7 +177,11 @@ def _snapshot_id(spark: SparkSession, source_path: str) -> int:
             for f in os.listdir(source_path))
     except OSError:
         names = [(source_path, 0)]
-    return hash(tuple(names)) & 0x7FFFFFFFFFFFFFFF
+    # stable digest, NOT builtin hash(): str hashing is randomized per
+    # process (PYTHONHASHSEED), and resume-from-a-new-driver is exactly the
+    # case the manifest exists for
+    digest = hashlib.sha256(repr(names).encode()).digest()
+    return int.from_bytes(digest[:8], "big") & 0x7FFFFFFFFFFFFFFF
 
 
 def _manifest_dir(output_path: str) -> str:
@@ -240,6 +246,13 @@ def run_resumable(spark: SparkSession, source_path: str, output_path: str,
         result = extract_pages(subset, num_partitions=num_partitions,
                                passwords=passwords)
         out = result.withColumn("_shard", F.lit(shard))
+        # shard write + manifest commit are two steps; if a previous run
+        # died between them, the shard's parquet partition exists without a
+        # manifest record. Replace, don't append, so retries are exact-once.
+        shard_dir = os.path.join(output_path, "extracted",
+                                 "_shard=%d" % shard)
+        if os.path.isdir(shard_dir):
+            shutil.rmtree(shard_dir)
         (out.write.mode("append")
             .partitionBy("_shard")
             .parquet(os.path.join(output_path, "extracted")))

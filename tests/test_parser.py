@@ -121,3 +121,27 @@ def test_three_integer_pushback():
     # final number (the reference's lex2 is consumed when lex3 hits EOF)
     assert list(ObjectScanner(b"[1 2 3] 7 8 9", content_mode=False)) == \
         [[1, 2, 3], 7, 8]
+
+
+def test_deep_nesting_raises_structure_error_not_recursion():
+    """Adversarial nesting must hit the bounded-depth StructureError well
+    below the CPython recursion limit — never RecursionError/segfault."""
+    deep = b"[" * 2000 + b"]" * 2000
+    with pytest.raises(StructureError, match="nesting"):
+        ObjectScanner(deep, content_mode=False).parse()
+    # a realistic nesting depth still parses
+    ok = b"[" * 50 + b"1" + b"]" * 50
+    parsed = ObjectScanner(ok, content_mode=False).parse()
+    for _ in range(50):
+        assert isinstance(parsed, list) and len(parsed) == 1
+        parsed = parsed[0]
+    assert parsed == 1
+
+
+def test_deep_nesting_quarantines_total():
+    from pdf4py_spark.kernel.extract import extract_document
+    bomb = (b"%PDF-1.4\n1 0 obj\n" + b"[" * 5000 + b"]" * 5000 +
+            b"\nendobj\ntrailer << /Root 1 0 R >>")
+    r = extract_document(bomb)
+    assert r.status != "ok"
+    assert "nesting" in (r.error or "") or "StructureError" in (r.error or "")

@@ -6,6 +6,7 @@ import json
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from pdf4py_spark.functions import assert_no_per_row_python, dispatch_kind
 from pdf4py_spark.plans.pipeline import (
@@ -143,3 +144,55 @@ def test_resume_skips_committed_shards(spark, tmp_path):
     third = run_resumable(spark, src, out, n_shards=3, num_partitions=2,
                           passwords=pw)
     assert third["processed"] == [] and third["skipped"] == [0, 1, 2]
+
+
+def test_snapshot_id_stable_across_processes(tmp_path):
+    """Resume happens from a NEW driver process: the input fingerprint must
+    not depend on PYTHONHASHSEED (builtin hash() is randomized)."""
+    import subprocess, sys
+    src = str(tmp_path / "snap_src")
+    os.makedirs(src)
+    with open(os.path.join(src, "a.parquet"), "wb") as fh:
+        fh.write(b"x" * 10)
+    from pdf4py_spark.plans.pipeline import _snapshot_id
+    local = _snapshot_id(None, src)
+    code = ("import sys; sys.path.insert(0, %r); "
+            "from pdf4py_spark.plans.pipeline import _snapshot_id; "
+            "print(_snapshot_id(None, %r))" % (
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                src))
+    for seed in ("0", "12345"):
+        out = subprocess.run(
+            [sys.executable, "-c", code],
+            env={**os.environ, "PYTHONHASHSEED": seed},
+            capture_output=True, text=True, check=True)
+        assert int(out.stdout.strip()) == local
+
+
+def test_uncommitted_shard_is_replaced_not_duplicated(spark, tmp_path):
+    """A run that dies between the shard parquet write and the manifest
+    commit must not duplicate the shard's rows on retry (emit-once)."""
+    src = str(tmp_path / "pages_src2")
+    out = str(tmp_path / "out2")
+    write_pages_parquet(spark, src)
+    pw = passwords_df(spark)
+
+    run_resumable(spark, src, out, n_shards=3, num_partitions=2,
+                  passwords=pw, max_shards=1)
+    # simulate the crash window: shard 0's parquet exists, manifest doesn't
+    os.remove(os.path.join(out, "_manifest", "shard-00000.json"))
+
+    res = run_resumable(spark, src, out, n_shards=3, num_partitions=2,
+                        passwords=pw)
+    assert 0 in res["processed"]
+    done = spark.read.parquet(os.path.join(out, "extracted"))
+    assert done.count() == spark.read.parquet(src).count()
+    assert done.select("url").distinct().count() == done.count()
+
+
+def test_dispatch_kind_honors_payload_argument(spark):
+    pages = corpus_pages_df(spark).withColumnRenamed("html", "payload")
+    kinds = {r["url"]: r["doc_kind"] for r in pages.withColumn(
+        "doc_kind", dispatch_kind(F.col("payload"))).collect()}
+    assert kinds["crawl://pdfs/0000.pdf"] == "pdf"
+    assert kinds["crawl://html/0001.html"] == "html"
