@@ -1,12 +1,15 @@
 """Deduplication operators over the ``documents`` table.
 
-Four families, all fully relational (JVM-side, shuffle-bounded):
+Five families, all fully relational (JVM-side, shuffle-bounded):
 
-* exact        — hash-groupBy on content digest
-* minhash_lsh  — shingle -> minhash signature -> banded buckets ->
-                 candidate pairs -> exact-Jaccard verification
-* simhash      — 16-bit bitwise-majority fingerprint from token digests
-* ngram_jaccard— word-trigram Jaccard inside natural blocking keys
+* exact            — hash-groupBy on content digest
+* minhash_lsh      — 64 affine minhash perms (one aggregate pass) ->
+                     16x4 banded buckets (capped) -> candidate pairs ->
+                     signature-estimated Jaccard
+* minhash_clusters — min-id canonical clusters straight from the band
+                     buckets, no pair materialization (the 100 TB path)
+* simhash          — 16-bit bitwise-majority fingerprint from token digests
+* ngram_jaccard    — word-trigram Jaccard inside bounded blocking keys
 
 Cross-engine determinism: md5 is the shared hash; all ratios rounded.
 At 100 TB the LSH path is the scale story: candidate generation cost is
@@ -20,9 +23,18 @@ from pyspark.sql import functions as F
 
 from . import QuerySpec, table
 
-N_SEEDS = 8
-N_BANDS = 2  # 2 bands x 4 rows: candidates must agree on 4 minhashes
-ROWS_PER_BAND = N_SEEDS // N_BANDS
+#: production-shape LSH: 64 permutations in 16 bands x 4 rows (the classic
+#: S-curve for a 0.5 Jaccard threshold), all parameterizable
+N_PERMS = 64
+N_BANDS = 16
+ROWS_PER_BAND = N_PERMS // N_BANDS
+#: Mersenne prime modulus for the affine permutation family
+_P = (1 << 31) - 1
+#: pair emission is capped per band bucket: a bucket of k docs yields
+#: k(k-1)/2 pairs, so one boilerplate cluster of 10^5 docs would emit
+#: 5*10^9 rows — mega-buckets are excluded from PAIR output (they are
+#: still clustered, linearly, by dedup_minhash_clusters)
+MAX_BUCKET = 32
 
 
 def _docs(spark, sf_dir):
@@ -58,118 +70,183 @@ FROM unioned GROUP BY md5(text)
 
 # --- minhash + LSH ----------------------------------------------------------
 
-def _minhash_signature(docs):
-    """(doc_id, seed, mh): min over distinct tokens of md5(token#seed)."""
+def _affine(i: int) -> tuple[int, int]:
+    """Deterministic affine-permutation coefficients for perm ``i``:
+    h_i(x) = (a_i * x + b_i) mod P. One md5 per TOKEN total (not per
+    perm): at 100 TB the signature pass is a single map-side-combinable
+    aggregate over tokens — no row explosion, no per-perm hashing."""
+    a = (i * 2654435761 + 103) % _P
+    b = (i * 976369 + 40503) % _P
+    return a, b
+
+
+def _minhash_sig(docs):
+    """One row per doc with mh0..mh{N_PERMS-1}: base hash = the first
+    15 hex digits of md5(token) (60 bits, portable: Spark conv() ==
+    DuckDB CAST('0x...')), reduced mod P, then N_PERMS affine mins
+    computed in ONE aggregate pass."""
     toks = docs.select(
         "doc_id",
         F.explode(F.array_distinct(F.split("text", " "))).alias("w"))
-    seeded = toks.withColumn(
-        "seed", F.explode(F.expr("sequence(0, %d)" % (N_SEEDS - 1))))
-    return (seeded.groupBy("doc_id", "seed")
-            .agg(F.min(F.md5(F.concat_ws("#", "w", F.col("seed")
-                                         .cast("string")))).alias("mh")))
+    base = toks.withColumn(
+        "h", F.expr("cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint)"
+                    " %% %d" % _P))
+    return base.groupBy("doc_id").agg(*[
+        F.min(F.expr("(%d * h + %d) %% %d" % (*_affine(i), _P)))
+        .alias("mh%d" % i) for i in range(N_PERMS)])
+
+
+def _band_key(b: int):
+    """Band key = md5 over the band's row minhashes (bounded key width)."""
+    return F.md5(F.concat_ws("|", *[
+        F.col("mh%d" % (b * ROWS_PER_BAND + r)).cast("string")
+        for r in range(ROWS_PER_BAND)]))
+
+
+def _band_buckets(sig):
+    return sig.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"), _band_key(b).alias("key"))
+            for b in range(N_BANDS)])).alias("bk")
+    ).select("doc_id", "bk.band", "bk.key")
 
 
 def dedup_minhash_lsh(spark, sf_dir):
-    """MinHash-LSH near-duplicate pairs, exact-Jaccard verified.
+    """MinHash-LSH near-duplicate pairs, signature-verified.
 
-    Pipeline: distinct tokens -> 8 minhashes -> 2 band keys (4 rows each)
-    -> bucket self-join (a.doc_id < b.doc_id) -> distinct candidates ->
-    token-join Jaccard -> keep >= 0.5.
+    Pipeline: distinct tokens -> 64 affine minhashes (one aggregate pass)
+    -> 16 band keys -> bucket-size cap (MAX_BUCKET, the mega-bucket guard)
+    -> bucket self-join -> distinct candidates -> signature-estimated
+    Jaccard (fraction of agreeing perms) -> keep >= 0.5.
+
+    Verification joins the 64-column signatures, NOT raw token sets: per
+    candidate pair the cost is O(N_PERMS), independent of document size.
     """
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    mh = _minhash_signature(docs)
-    sig = mh.groupBy("doc_id").agg(*[
-        F.min(F.when(F.col("seed") == s, F.col("mh"))).alias("mh%d" % s)
-        for s in range(N_SEEDS)])
-    bands = sig.select(
-        "doc_id",
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws("|", *[F.col("mh%d" % (b * ROWS_PER_BAND + r))
-                                   for r in range(ROWS_PER_BAND)])
-                .alias("key"))
-            for b in range(N_BANDS)])).alias("bk")
-    ).select("doc_id", "bk.band", "bk.key")
-    cand = (bands.alias("a").join(
-        bands.alias("b"),
+    sig = _minhash_sig(docs)
+    buckets = _band_buckets(sig)
+    small = (buckets.groupBy("band", "key")
+             .agg(F.count("*").alias("bn"))
+             .where(F.col("bn") <= MAX_BUCKET)
+             .select("band", "key"))
+    capped = buckets.join(small, ["band", "key"])
+    cand = (capped.alias("a").join(
+        capped.alias("b"),
         (F.col("a.band") == F.col("b.band"))
         & (F.col("a.key") == F.col("b.key"))
         & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("id_a"),
                 F.col("b.doc_id").alias("id_b"))
         .distinct())
-    toksets = docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(F.split("text", " "))).alias("w"))
-    sizes = toksets.groupBy("doc_id").agg(F.count("*").alias("n"))
-    inter = (cand
-             .join(toksets.alias("ta"), F.col("ta.doc_id") == F.col("id_a"))
-             .join(toksets.alias("tb"),
-                   (F.col("tb.doc_id") == F.col("id_b"))
-                   & (F.col("ta.w") == F.col("tb.w")))
-             .groupBy("id_a", "id_b").agg(F.count("*").alias("n_common")))
-    return (inter
-            .join(sizes.alias("sa"), F.col("sa.doc_id") == F.col("id_a"))
-            .join(sizes.alias("sb"), F.col("sb.doc_id") == F.col("id_b"))
-            .select(
-                "id_a", "id_b",
-                F.round(F.col("n_common") /
-                        (F.col("sa.n") + F.col("sb.n") - F.col("n_common")),
-                        4).alias("jaccard"))
-            .where(F.col("jaccard") >= 0.5))
+    match_sum = " + ".join(
+        "cast(sa.mh%d = sb.mh%d as int)" % (i, i) for i in range(N_PERMS))
+    return (cand
+            .join(sig.alias("sa"), F.col("sa.doc_id") == F.col("id_a"))
+            .join(sig.alias("sb"), F.col("sb.doc_id") == F.col("id_b"))
+            .select("id_a", "id_b",
+                    F.expr("round((%s) / cast(%d as double), 4)"
+                           % (match_sum, N_PERMS))
+                    .alias("est_jaccard"))
+            .where(F.col("est_jaccard") >= 0.5))
+
+
+def dedup_minhash_clusters(spark, sf_dir):
+    """Canonical near-dup clusters WITHOUT pair materialization: each doc's
+    cluster id is the min doc_id across its band buckets (single-pass
+    min-id LSH clustering). A bucket of 10^5 boilerplate copies costs
+    10^5 rows here, not 5*10^9 pairs — this is the 100 TB dedup path;
+    the pair query exists for inspection/thresholding."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    buckets = _band_buckets(_minhash_sig(docs))
+    bucket_min = (buckets.groupBy("band", "key")
+                  .agg(F.min("doc_id").alias("m")))
+    clusters = (buckets.join(bucket_min, ["band", "key"])
+                .groupBy("doc_id")
+                .agg(F.min("m").alias("cluster_id")))
+    return clusters.select(
+        "doc_id", "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"))
 
 
 def _minhash_sig_sql():
-    mins = ",\n       ".join(
-        "MIN(CASE WHEN seed = {s} THEN mh END) AS mh{s}".format(s=s)
-        for s in range(N_SEEDS))
+    mins = ",\n           ".join(
+        "MIN(({a} * h + {b}) % {p}) AS mh{i}".format(
+            a=_affine(i)[0], b=_affine(i)[1], p=_P, i=i)
+        for i in range(N_PERMS))
     return """
   tok AS (
     SELECT DISTINCT doc_id, w FROM (
       SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
     )
   ),
-  seeded AS (
-    SELECT doc_id, w, unnest(generate_series(0, {top})) AS seed FROM tok
-  ),
-  mh AS (
-    SELECT doc_id, seed, MIN(md5(w || '#' || CAST(seed AS VARCHAR))) AS mh
-    FROM seeded GROUP BY doc_id, seed
+  based AS (
+    SELECT doc_id,
+           CAST('0x' || substring(md5(w), 1, 15) AS BIGINT) % {p} AS h
+    FROM tok
   ),
   sig AS (
-    SELECT doc_id, {mins} FROM mh GROUP BY doc_id
-  )""".format(top=N_SEEDS - 1, mins=mins)
+    SELECT doc_id, {mins} FROM based GROUP BY doc_id
+  )""".format(p=_P, mins=mins)
+
+
+def _bands_sql():
+    parts = []
+    for b in range(N_BANDS):
+        key = " || '|' || ".join(
+            "CAST(mh%d AS VARCHAR)" % (b * ROWS_PER_BAND + r)
+            for r in range(ROWS_PER_BAND))
+        parts.append(
+            "SELECT doc_id, %d AS band, md5(%s) AS key FROM sig" % (b, key))
+    return "\n    UNION ALL\n    ".join(parts)
 
 
 DEDUP_MINHASH_SQL = """
 WITH {sig},
   bands AS (
-    SELECT doc_id, 0 AS band, mh0 || '|' || mh1 || '|' || mh2 || '|' || mh3 AS key FROM sig
-    UNION ALL
-    SELECT doc_id, 1 AS band, mh4 || '|' || mh5 || '|' || mh6 || '|' || mh7 AS key FROM sig
+    {bands}
+  ),
+  small AS (
+    SELECT band, key FROM bands GROUP BY band, key
+    HAVING COUNT(*) <= {cap}
+  ),
+  capped AS (
+    SELECT bands.* FROM bands JOIN small USING (band, key)
   ),
   cand AS (
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM bands a JOIN bands b
+    FROM capped a JOIN capped b
       ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-  ),
-  sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
-  inter AS (
-    SELECT id_a, id_b, COUNT(*) AS n_common
-    FROM cand
-    JOIN tok ta ON ta.doc_id = id_a
-    JOIN tok tb ON tb.doc_id = id_b AND ta.w = tb.w
-    GROUP BY id_a, id_b
   )
 SELECT id_a, id_b,
-       ROUND(n_common / (sa.n + sb.n - n_common), 4) AS jaccard
-FROM inter
-JOIN sizes sa ON sa.doc_id = id_a
-JOIN sizes sb ON sb.doc_id = id_b
-WHERE ROUND(n_common / (sa.n + sb.n - n_common), 4) >= 0.5
-""".format(sig=_minhash_sig_sql())
+       ROUND(({match_sum}) / CAST({n} AS DOUBLE), 4) AS est_jaccard
+FROM cand
+JOIN sig sa ON sa.doc_id = id_a
+JOIN sig sb ON sb.doc_id = id_b
+WHERE ROUND(({match_sum}) / CAST({n} AS DOUBLE), 4) >= 0.5
+""".format(sig=_minhash_sig_sql(), bands=_bands_sql(), cap=MAX_BUCKET,
+           n=N_PERMS,
+           match_sum=" + ".join(
+               "CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END".format(i=i)
+               for i in range(N_PERMS)))
+
+
+DEDUP_MINHASH_CLUSTERS_SQL = """
+WITH {sig},
+  bands AS (
+    {bands}
+  ),
+  bucket_min AS (
+    SELECT band, key, MIN(doc_id) AS m FROM bands GROUP BY band, key
+  ),
+  clusters AS (
+    SELECT bands.doc_id, MIN(bucket_min.m) AS cluster_id
+    FROM bands JOIN bucket_min USING (band, key)
+    GROUP BY bands.doc_id
+  )
+SELECT doc_id, cluster_id, doc_id = cluster_id AS is_canonical
+FROM clusters
+""".format(sig=_minhash_sig_sql(), bands=_bands_sql())
 
 
 # --- simhash ------------------------------------------------------------------
@@ -290,6 +367,8 @@ JOIN sizes sb ON sb.doc_id = id_b
 QUERIES = {
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL),
     "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, DEDUP_MINHASH_SQL),
+    "dedup_minhash_clusters": QuerySpec(dedup_minhash_clusters,
+                                        DEDUP_MINHASH_CLUSTERS_SQL),
     "dedup_simhash": QuerySpec(dedup_simhash, DEDUP_SIMHASH_SQL),
     "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
 }
