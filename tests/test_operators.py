@@ -33,7 +33,28 @@ def test_minhash_lsh_pairs_are_verified_neardups(spark, queries):
     assert rows, "expected candidate near-dup pairs on this corpus"
     for r in rows[:200]:
         assert r["id_a"] < r["id_b"]
-        assert 0.5 <= r["jaccard"] <= 1.0
+        assert 0.5 <= r["est_jaccard"] <= 1.0
+
+
+def test_minhash_clusters_group_exact_duplicates(spark):
+    """Identical texts have identical signatures, hence identical buckets:
+    they MUST land in the same cluster with the min doc_id canonical."""
+    from pyspark.sql import functions as F
+    import pdf4py_spark.operators.dedup as dd
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+         (7, "alpha beta gamma delta"), (3, "totally different text here"),
+         (4, "unrelated words entirely disjoint")],
+        "doc_id bigint, text string")
+    buckets = dd._band_buckets(dd._minhash_sig(docs))
+    bucket_min = (buckets.groupBy("band", "key")
+                  .agg(F.min("doc_id").alias("m")))
+    clusters = {r["doc_id"]: r["cluster_id"]
+                for r in buckets.join(bucket_min, ["band", "key"])
+                .groupBy("doc_id")
+                .agg(F.min("m").alias("cluster_id")).collect()}
+    assert clusters[1] == clusters[2] == clusters[7] == 1
+    assert clusters[3] != 1 and clusters[4] != 1
 
 
 def test_simhash_range_and_determinism(spark, queries):
