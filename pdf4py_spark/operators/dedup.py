@@ -310,9 +310,20 @@ FROM votes GROUP BY doc_id
 
 # --- n-gram jaccard --------------------------------------------------------------
 
+#: candidate-generation DF cap: a trigram shared by k docs in one source
+#: contributes k(k-1)/2 join rows, so boilerplate trigrams ("click here
+#: to") make the (source, g) block quadratic — trigrams with document
+#: frequency above this are excluded from CANDIDATE generation (the exact
+#: Jaccard over full trigram sets is still computed for every candidate)
+MAX_TRIGRAM_DF = 16
+
+
 def dedup_ngram_jaccard(spark, sf_dir):
-    """Word-trigram Jaccard for document pairs inside natural blocking
-    keys (same source), the classic blocked pairwise near-dup check."""
+    """Word-trigram Jaccard with rare-shingle blocking: candidate pairs
+    must share at least one trigram whose (source, trigram) document
+    frequency is <= MAX_TRIGRAM_DF; each candidate is then verified with
+    the EXACT Jaccard over the full trigram sets. Bounds every block at
+    MAX_TRIGRAM_DF docs while keeping the emitted statistic exact."""
     docs = _docs(spark, sf_dir).where("size(split(text, ' ')) >= 3")
     tri = (docs.withColumn("toks", F.split("text", " "))
            .select(
@@ -323,14 +334,25 @@ def dedup_ngram_jaccard(spark, sf_dir):
                    " element_at(toks, i + 1),"
                    " element_at(toks, i + 2)))"))).alias("g")))
     sizes = tri.groupBy("doc_id").agg(F.count("*").alias("n"))
-    inter = (tri.alias("a").join(
-        tri.alias("b"),
+    rare = (tri.groupBy("source", "g")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") <= MAX_TRIGRAM_DF)
+            .select("source", "g"))
+    rare_tri = tri.join(rare, ["source", "g"])
+    cand = (rare_tri.alias("a").join(
+        rare_tri.alias("b"),
         (F.col("a.source") == F.col("b.source"))
         & (F.col("a.g") == F.col("b.g"))
         & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("id_a"),
-                 F.col("b.doc_id").alias("id_b"))
-        .agg(F.count("*").alias("n_common")))
+        .select(F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"))
+        .distinct())
+    inter = (cand
+             .join(tri.alias("ta"), F.col("ta.doc_id") == F.col("id_a"))
+             .join(tri.alias("tb"),
+                   (F.col("tb.doc_id") == F.col("id_b"))
+                   & (F.col("ta.g") == F.col("tb.g")))
+             .groupBy("id_a", "id_b").agg(F.count("*").alias("n_common")))
     return (inter
             .join(sizes.alias("sa"), F.col("sa.doc_id") == F.col("id_a"))
             .join(sizes.alias("sb"), F.col("sb.doc_id") == F.col("id_b"))
@@ -350,18 +372,31 @@ WITH tri_raw AS (
         FROM documents WHERE len(string_split(text, ' ')) >= 3)
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM tri_raw GROUP BY doc_id),
-inter AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
-  FROM tri_raw a JOIN tri_raw b
+rare AS (
+  SELECT source, g FROM tri_raw GROUP BY source, g
+  HAVING COUNT(*) <= {cap}
+),
+rare_tri AS (
+  SELECT tri_raw.* FROM tri_raw JOIN rare USING (source, g)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM rare_tri a JOIN rare_tri b
     ON a.source = b.source AND a.g = b.g AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
+),
+inter AS (
+  SELECT id_a, id_b, COUNT(*) AS n_common
+  FROM cand
+  JOIN tri_raw ta ON ta.doc_id = id_a
+  JOIN tri_raw tb ON tb.doc_id = id_b AND ta.g = tb.g
+  GROUP BY id_a, id_b
 )
 SELECT id_a, id_b, n_common,
        ROUND(n_common / (sa.n + sb.n - n_common), 4) AS jaccard
 FROM inter
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
-"""
+""".format(cap=MAX_TRIGRAM_DF)
 
 
 QUERIES = {

@@ -108,109 +108,171 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 3
 """
 
 
+#: random-hyperplane LSH parameters: N_BANDS_LSH independent hash tables
+#: (OR-construction for recall), each bucketing on N_PLANES sign bits
+N_PLANES = 6
+N_BANDS_LSH = 3
+EMB_DIM = 64
+
+
+def _plane(t: int, p: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane (band t, plane p): component
+    d is the first hex digit of md5('t#p#d') shifted to [-7.5, +7.5].
+    Emitted as LITERAL vectors into both engines' plans, so the signature
+    is a per-row projection — no explode, no shuffle, no per-row hashing."""
+    import hashlib
+    return [int(hashlib.md5(("%d#%d#%d" % (t, p, d)).encode())
+                .hexdigest()[0], 16) + 1 - 8.5 for d in range(EMB_DIM)]
+
+
+def _bucket_expr_spark(t: int, n_planes: int = N_PLANES) -> str:
+    """bigint bucket id for band t: sign bits of n_planes literal-plane
+    dot products, each computed by a codegen'd zip_with/aggregate fold."""
+    bits = []
+    for p in range(n_planes):
+        lit = "array(%s)" % ", ".join(
+            repr(x) + "D" for x in _plane(t, p))
+        dot = ("aggregate(zip_with(cast(embedding as array<double>), %s,"
+               " (x, y) -> x * y), 0D, (a, x) -> a + x)" % lit)
+        bits.append("cast(%s > 0 as bigint) * %d" % (dot, 1 << p))
+    return " + ".join(bits)
+
+
+def _bucket_expr_duck(t: int, n_planes: int = N_PLANES) -> str:
+    bits = []
+    for p in range(n_planes):
+        lit = "[%s]" % ", ".join(repr(x) for x in _plane(t, p))
+        dot = "list_dot_product(embedding::DOUBLE[], %s)" % lit
+        bits.append("CASE WHEN %s > 0 THEN %d ELSE 0 END" % (dot, 1 << p))
+    return "CAST(" + " + ".join(bits) + " AS BIGINT)"
+
+
+#: near-dup blocking: 6 OR'd bands of 3 sign bits each — at cosine 0.8 the
+#: per-plane agreement is ~0.795, so a pair survives >= 1 band with
+#: p = 1 - (1 - 0.795^3)^6 ~ 0.985; each (label, band, bucket) block is
+#: label-population / 2^3, bounded by construction
+ND_PLANES = 3
+ND_BANDS = 6
+_ND_BAND_OFFSET = 100  # decorrelate from the ANN plane family
+
+
 def embedding_neardup(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs (all pairs over the label
-    blocking key, cosine >= 0.8) — the embedding leg of the dedup suite."""
-    emb = table(spark, sf_dir, "embeddings")
-    a = emb.selectExpr("vec_id AS id_a", "label AS la", "embedding AS qe")
-    b = emb.selectExpr("vec_id AS id_b", "label AS lb", "embedding AS ne")
-    return (a.join(b, (F.col("la") == F.col("lb"))
+    """Embedding-cosine near-duplicate pairs: candidates must share a
+    (label, band, bucket) sign-LSH block — label alone is unbounded in a
+    real corpus (one hot label => quadratic pairs); the sign-bucket second
+    key bounds every block at label_count / 2^ND_PLANES per band."""
+    return _neardup_pairs(table(spark, sf_dir, "embeddings"))
+
+
+def _neardup_pairs(emb):
+    keyed = emb.select(
+        "vec_id", "label", "embedding",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(t).alias("band"),
+                F.expr(_bucket_expr_spark(_ND_BAND_OFFSET + t, ND_PLANES))
+                .alias("bucket"))
+            for t in range(ND_BANDS)])).alias("bb")
+    ).select("vec_id", "label", "embedding", "bb.band", "bb.bucket")
+    a = keyed.selectExpr("vec_id AS id_a", "label AS la",
+                         "embedding AS qe", "band", "bucket")
+    b = keyed.selectExpr("vec_id AS id_b", "label AS lb",
+                         "embedding AS ne", "band", "bucket")
+    cand = (a.join(b, ["band", "bucket"])
+            .where((F.col("la") == F.col("lb"))
                    & (F.col("id_a") < F.col("id_b")))
-            .selectExpr("id_a", "id_b", _COS + " AS cosine")
+            .select("id_a", "id_b", "qe", "ne")
+            .dropDuplicates(["id_a", "id_b"]))
+    return (cand.selectExpr("id_a", "id_b", _COS + " AS cosine")
             .where("cosine >= 0.8"))
 
 
+def _nd_bands_duck():
+    return "\n    UNION ALL\n    ".join(
+        "SELECT vec_id, label, embedding, %d AS band, %s AS bucket"
+        " FROM embeddings"
+        % (t, _bucket_expr_duck(_ND_BAND_OFFSET + t, ND_PLANES))
+        for t in range(ND_BANDS))
+
+
 EMBEDDING_NEARDUP_SQL = """
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+WITH keyed AS (
+    {bands}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM keyed a JOIN keyed b
+    ON a.band = b.band AND a.bucket = b.bucket
+   AND a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b,
        ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
              (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
               sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
              4) AS cosine
-FROM embeddings a JOIN embeddings b
-  ON a.label = b.label AND a.vec_id < b.vec_id
+FROM cand
+JOIN embeddings a ON a.vec_id = id_a
+JOIN embeddings b ON b.vec_id = id_b
 WHERE ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
             (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
              sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
             4) >= 0.8
-"""
-
-
-N_PLANES = 6
-
-# deterministic pseudo-random hyperplane component in [-8.5, 7.5): the
-# first hex digit of md5('<plane>#<dim>') shifted to be zero-mean-ish.
-# Integer-derived, so both engines agree bit-exactly on every component.
-_PLANE_COMPONENT = (
-    "position(substring(md5(concat(cast(p as string), '#',"
-    " cast(d as string))), 1, 1) IN '0123456789abcdef') - 8.5")
+""".format(bands=_nd_bands_duck())
 
 
 def ann_lsh_topk(spark, sf_dir):
-    """Random-hyperplane LSH ANN: each vector gets an N_PLANES-bit bucket
-    (sign of dot(vec, plane)); probes search only their own bucket, then
-    exact cosine ranks the candidates. The classic sublinear scale path:
-    bucket population ~ n / 2^planes, so the join cost is
-    sum_b(q_b * n_b), never q*n."""
+    """Random-hyperplane LSH ANN with OR-construction: N_BANDS_LSH
+    independent tables, each assigning an N_PLANES-bit sign bucket; probes
+    search the union of their buckets, exact cosine reranks.
+
+    Scale shape: the signature stage is a pure per-row projection
+    (literal plane vectors folded with zip_with/aggregate — n rows in, n
+    rows out, no explode/shuffle); candidate generation is a hash join on
+    (band, bucket) with population ~ n/2^N_PLANES per bucket per band."""
     emb = table(spark, sf_dir, "embeddings")
-    comps = (emb
-             .withColumn("p", F.explode(
-                 F.expr("sequence(0, %d)" % (N_PLANES - 1))))
-             .withColumn("dv", F.explode(F.expr(
-                 "transform(cast(embedding as array<double>),"
-                 " (x, i) -> struct(i as d, x as v))")))
-             .select("vec_id", "p", F.col("dv.d").alias("d"),
-                     F.col("dv.v").alias("v")))
-    dots = (comps
-            .withColumn("contrib", F.col("v") * F.expr(_PLANE_COMPONENT))
-            .groupBy("vec_id", "p").agg(F.sum("contrib").alias("dot")))
-    sigs = (dots.groupBy("vec_id").agg(
-        F.sum(F.when(F.col("dot") > 0,
-                     F.expr("cast(pow(2, p) as bigint)")).otherwise(0))
-        .alias("bucket")))
-    keyed = emb.join(sigs, "vec_id")
+    keyed = emb.select(
+        "vec_id", "embedding",
+        F.explode(F.array(*[
+            F.struct(F.lit(t).alias("band"),
+                     F.expr(_bucket_expr_spark(t)).alias("bucket"))
+            for t in range(N_BANDS_LSH)])).alias("bb")
+    ).select("vec_id", "embedding", "bb.band", "bb.bucket")
     queries = keyed.where("vec_id % 50 = 0").selectExpr(
-        "vec_id AS query_id", "embedding AS qe", "bucket")
+        "vec_id AS query_id", "embedding AS qe", "band", "bucket")
     corpus = keyed.selectExpr(
-        "vec_id AS neighbor_id", "embedding AS ne", "bucket")
-    pairs = (queries.join(corpus, "bucket")
-             .where("query_id <> neighbor_id")
-             .selectExpr("query_id", "neighbor_id", _COS + " AS cosine"))
+        "vec_id AS neighbor_id", "embedding AS ne", "band", "bucket")
+    cand = (queries.join(corpus, ["band", "bucket"])
+            .where("query_id <> neighbor_id")
+            .select("query_id", "neighbor_id", "qe", "ne")
+            .dropDuplicates(["query_id", "neighbor_id"]))
+    pairs = cand.selectExpr("query_id", "neighbor_id", _COS + " AS cosine")
     return _ranked(pairs)
 
 
+def _lsh_bands_duck():
+    return "\n    UNION ALL\n    ".join(
+        "SELECT vec_id, embedding, %d AS band, %s AS bucket FROM embeddings"
+        % (t, _bucket_expr_duck(t)) for t in range(N_BANDS_LSH))
+
+
 ANN_LSH_SQL = """
-WITH comps AS (
-  SELECT vec_id, planes.p AS p, dims.d AS d,
-         embedding[dims.d + 1]::DOUBLE AS v
-  FROM embeddings
-  CROSS JOIN range(0, {nplanes}) AS planes(p)
-  CROSS JOIN range(0, 64) AS dims(d)
+WITH keyed AS (
+    {bands}
 ),
-dots AS (
-  SELECT vec_id, p,
-         SUM(v * (position(substring(md5(CAST(p AS VARCHAR) || '#' ||
-                   CAST(d AS VARCHAR)), 1, 1) IN '0123456789abcdef')
-                  - 8.5)) AS dot
-  FROM comps GROUP BY vec_id, p
-),
-sigs AS (
-  SELECT vec_id,
-         SUM(CASE WHEN dot > 0 THEN CAST(pow(2, p) AS BIGINT)
-                  ELSE 0 END) AS bucket
-  FROM dots GROUP BY vec_id
-),
-keyed AS (
-  SELECT e.vec_id, e.embedding, s.bucket
-  FROM embeddings e JOIN sigs s ON e.vec_id = s.vec_id
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM keyed q JOIN keyed c ON q.band = c.band AND q.bucket = c.bucket
+  WHERE q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id
 ),
 pairs AS (
-  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+  SELECT query_id, neighbor_id,
          ROUND(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
                (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
                 sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))),
                4) AS cosine
-  FROM keyed q JOIN keyed c ON q.bucket = c.bucket
-  WHERE q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id
+  FROM cand
+  JOIN embeddings q ON q.vec_id = query_id
+  JOIN embeddings c ON c.vec_id = neighbor_id
 ),
 ranked AS (
   SELECT query_id, neighbor_id, cosine,
@@ -219,7 +281,7 @@ ranked AS (
   FROM pairs
 )
 SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 3
-""".format(nplanes=N_PLANES)
+""".format(bands=_lsh_bands_duck())
 
 
 QUERIES = {

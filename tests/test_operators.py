@@ -106,3 +106,22 @@ def test_no_query_uses_row_python(spark, queries):
     from pdf4py_spark.functions import assert_no_per_row_python
     for name, spec in queries.items():
         assert_no_per_row_python(spec.fn(spark, SF))
+
+
+def test_embedding_neardup_finds_planted_pairs(spark):
+    """Two nearly-identical vectors (cosine ~0.999) in the same label must
+    survive the sign-LSH blocking and be emitted; an orthogonal vector
+    must not pair with them."""
+    import random
+    from pdf4py_spark.operators.similarity import _neardup_pairs
+    rng = random.Random(5)
+    base = [rng.uniform(-1, 1) for _ in range(64)]
+    near = [x + 0.01 for x in base]
+    ortho = [rng.uniform(-1, 1) for _ in range(64)]
+    emb = spark.createDataFrame(
+        [(1, "a", base), (2, "a", near), (3, "a", ortho)],
+        "vec_id bigint, label string, embedding array<double>")
+    rows = {(r["id_a"], r["id_b"]): r["cosine"]
+            for r in _neardup_pairs(emb).collect()}
+    assert (1, 2) in rows and rows[(1, 2)] >= 0.99
+    assert (1, 3) not in rows and (2, 3) not in rows
