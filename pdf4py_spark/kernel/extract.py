@@ -48,6 +48,23 @@ def sniff_kind(payload: bytes) -> str:
     return "pdf" if payload[:5] == PDF_MAGIC else "html"
 
 
+#: bytes captured on each side of a failure offset in quarantine rows
+ERROR_CONTEXT_BYTES = 100
+
+
+def _error_context(payload: bytes, exc: Exception) -> str:
+    """+-100-byte window around the failure offset, when the kernel error
+    carries one (parity with the reference's enriched messages,
+    /root/reference/pdf4py/_lexer.py:165-227) — at 10^12-doc scale a
+    quarantine row must be debuggable without refetching the document."""
+    pos = getattr(exc, "pos", None)
+    if pos is None or not payload:
+        return ""
+    start = max(pos - ERROR_CONTEXT_BYTES, 0)
+    window = bytes(payload[start:pos + ERROR_CONTEXT_BYTES])
+    return " | position %d, context[%d:]: %r" % (pos, start, window)
+
+
 def extract_document(payload, password=None) -> ExtractionResult:
     started = time.perf_counter()
     if isinstance(payload, memoryview):
@@ -75,7 +92,8 @@ def extract_document(payload, password=None) -> ExtractionResult:
         res.error = "object graph too deep"
     except Exception as exc:  # noqa: BLE001 - totality is the contract
         res.status = "error"
-        res.error = "%s: %s" % (type(exc).__name__, exc)
+        res.error = ("%s: %s" % (type(exc).__name__, exc)
+                     + _error_context(payload, exc))
     if res.extracted is not None:
         res.bytes_out = len(res.extracted)
     if res.status != "ok":

@@ -23,8 +23,8 @@ file-pointer path). Behavioral parity with the reference tokenizer
 from __future__ import annotations
 
 from .model import (
-    DictMark, HexString, Keyword, LiteralString, Operator, Singleton,
-    StreamMark, TokenError,
+    DictMark, HexString, Keyword, KernelError, LiteralString, Operator,
+    Singleton, StreamMark, TokenError,
 )
 
 LF = 0x0A
@@ -153,19 +153,24 @@ class Tokenizer:
         i = self.pos
         c = buf[i]
 
-        if c == 0x28:  # (
-            tok = self._scan_literal_string()
-        elif c == 0x3C and not buf.startswith(b"<<", i):  # < but not <<
-            tok = self._scan_hex_string()
-        elif c == 0x2F:  # /
-            self.pos = i + 1
-            tok = self._scan_name()
-        elif c in _DIGITS:
-            tok = self._scan_number(leading_digit=True)
-        elif c in (0x2B, 0x2D, 0x2E):  # + - .
-            tok = self._scan_number(leading_digit=False)
-        else:
-            tok = self._scan_word(c)
+        try:
+            if c == 0x28:  # (
+                tok = self._scan_literal_string()
+            elif c == 0x3C and not buf.startswith(b"<<", i):  # < but not <<
+                tok = self._scan_hex_string()
+            elif c == 0x2F:  # /
+                self.pos = i + 1
+                tok = self._scan_name()
+            elif c in _DIGITS:
+                tok = self._scan_number(leading_digit=True)
+            elif c in (0x2B, 0x2D, 0x2E):  # + - .
+                tok = self._scan_number(leading_digit=False)
+            else:
+                tok = self._scan_word(c)
+        except KernelError as exc:
+            if exc.pos is None:  # stamp the failure offset once
+                exc.pos = self.pos
+            raise
 
         self.cur = tok
         return tok

@@ -166,7 +166,16 @@ class PackedEntry:
 
 class KernelError(Exception):
     """Base class for all kernel failures; pipelines convert these into
-    quarantine rows, never task failures."""
+    quarantine rows, never task failures.
+
+    ``pos`` (optional) is the byte offset in the source payload where the
+    failure was detected; the extraction layer uses it to attach a +-100
+    byte context window to the quarantine row (parity with the reference's
+    get_context, _lexer.py:165-227)."""
+
+    def __init__(self, *args, pos: int | None = None):
+        super().__init__(*args)
+        self.pos = pos
 
 
 class TokenError(KernelError):

@@ -20,9 +20,9 @@ from .crypto import SecurityContext
 from .filters import run_filter_chain
 from .lexer import Tokenizer
 from .model import (
-    DictMark, HexString, IndirectObject, Keyword, LiteralString, Operator,
-    PackedEntry, Ref, Singleton, StreamMark, Stream, StructureError,
-    UnsupportedFeatureError, UsedEntry,
+    DictMark, HexString, IndirectObject, Keyword, KernelError,
+    LiteralString, Operator, PackedEntry, Ref, Singleton, StreamMark,
+    Stream, StructureError, UnsupportedFeatureError, UsedEntry,
 )
 
 _TRAILER_KEYS = frozenset(("Root", "ID", "Size", "Encrypt", "Info", "Prev"))
@@ -75,10 +75,15 @@ class ObjectScanner:
             raise StopIteration
         if self._depth >= self.MAX_NESTING:
             raise StructureError(
-                "object nesting deeper than %d" % self.MAX_NESTING)
+                "object nesting deeper than %d" % self.MAX_NESTING,
+                pos=self.tok.pos)
         self._depth += 1
         try:
             return self._parse_inner(obj_id)
+        except KernelError as exc:
+            if exc.pos is None:  # stamp the failure offset once
+                exc.pos = self.tok.pos
+            raise
         finally:
             self._depth -= 1
 
@@ -248,7 +253,8 @@ class DocumentParser:
         tok = self.scanner.tok
         anchor = tok.find_last_line(b"startxref")
         if anchor < 0:
-            raise StructureError("'startxref' anchor not found")
+            raise StructureError("'startxref' anchor not found",
+                                 pos=len(tok.buf))
         section_pos = tok.next_token()
         sections = []  # collected newest -> oldest, prepended
         self.trailer = {}
@@ -422,6 +428,8 @@ class DocumentParser:
             length = self.resolve(entry)
         if not isinstance(length, int):
             raise StructureError("stream Length is not an integer")
+        # document offset of the stream data, for quarantine context
+        stream_pos = self.scanner.tok.pos
 
         def payload():
             data = raw_reader(length)
@@ -435,11 +443,13 @@ class DocumentParser:
                 try:
                     data = self.security.decrypt_stream(data, meta, obj_id)
                 except Exception as exc:
-                    raise StructureError("stream decryption failed: %s" % exc)
+                    raise StructureError("stream decryption failed: %s" % exc,
+                                         pos=stream_pos)
             try:
                 return run_filter_chain(meta, data)
             except Exception as exc:
-                raise StructureError("stream decoding failed: %s" % exc)
+                raise StructureError("stream decoding failed: %s" % exc,
+                                     pos=stream_pos)
 
         return length, payload
 

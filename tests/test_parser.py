@@ -145,3 +145,17 @@ def test_deep_nesting_quarantines_total():
     r = extract_document(bomb)
     assert r.status != "ok"
     assert "nesting" in (r.error or "") or "StructureError" in (r.error or "")
+
+
+def test_quarantine_error_carries_context_window():
+    """A malformed PDF's quarantine row must include the +-100-byte window
+    around the failure offset (parity: reference get_context)."""
+    from pdf4py_spark.kernel.extract import extract_document
+    filler = b"A" * 300
+    # truncated: hex string never closed -> TokenError deep in the payload
+    bad = (b"%PDF-1.4\n" + filler + b"\n1 0 obj\n<a1b2")
+    r = extract_document(bad)
+    assert r.status == "error"
+    assert "position" in r.error and "context[" in r.error
+    # the window must contain bytes from the payload near the failure
+    assert "a1b2" in r.error or "AAAA" in r.error
