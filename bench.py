@@ -108,6 +108,7 @@ BENCH_QUERIES = (
     "extract_html_roundtrip",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_minhash_clusters",
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "ann_cosine_topk",
