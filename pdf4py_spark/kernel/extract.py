@@ -14,7 +14,7 @@ from dataclasses import dataclass, field
 from .htmlextract import extract_html_text
 from .model import BadPasswordError, PackedEntry, UnsupportedFeatureError
 from .parser import DocumentParser
-from .textextract import extract_pdf_text
+from .textextract import extract_pdf_text, extract_pdf_text_unicode
 
 PDF_MAGIC = b"%PDF-"
 
@@ -65,7 +65,8 @@ def _error_context(payload: bytes, exc: Exception) -> str:
     return " | position %d, context[%d:]: %r" % (pos, start, window)
 
 
-def extract_document(payload, password=None) -> ExtractionResult:
+def extract_document(payload, password=None,
+                     text_mode: str = "raw") -> ExtractionResult:
     started = time.perf_counter()
     if isinstance(payload, memoryview):
         payload = bytes(payload)
@@ -77,7 +78,7 @@ def extract_document(payload, password=None) -> ExtractionResult:
             res.status = "error"
             res.error = "empty payload"
         elif kind == "pdf":
-            _extract_pdf(payload, password, res)
+            _extract_pdf(payload, password, res, text_mode)
         else:
             res.extracted = extract_html_text(payload)
             res.parse_ok = True
@@ -104,7 +105,8 @@ def extract_document(payload, password=None) -> ExtractionResult:
     return res
 
 
-def _extract_pdf(payload: bytes, password, res: ExtractionResult):
+def _extract_pdf(payload: bytes, password, res: ExtractionResult,
+                 text_mode: str = "raw"):
     doc = DocumentParser(payload, password=password)
     res.version = doc.version
     res.decrypt_hit = doc.security is not None
@@ -115,6 +117,9 @@ def _extract_pdf(payload: bytes, password, res: ExtractionResult):
         1 for e in entries if isinstance(e, PackedEntry))
     pages = doc.page_dicts()
     res.n_pages = len(pages)
-    res.extracted = extract_pdf_text(doc, pages)
+    if text_mode == "unicode":
+        res.extracted = extract_pdf_text_unicode(doc)
+    else:
+        res.extracted = extract_pdf_text(doc, pages)
     res.filters = sorted(doc.filters_seen)
     res.parse_ok = True

@@ -1,0 +1,339 @@
+"""Font/encoding-aware decoding of show-operator strings (PDF 1.7
+§9.6-9.10): ToUnicode CMaps, base encodings (Standard/WinAnsi/MacRoman),
+and /Differences glyph-name overrides.
+
+This capability is OUT of the reference's scope (it stops at raw string
+operands) — it is new functionality layered on the same parsing stack.
+The API is pure bytes / plain dicts so tools/make_oracle.py can drive the
+IDENTICAL decode logic through the reference parser's objects: the
+byte-identity gate then spans two independent parser/filter/decrypt stacks
+feeding one shared decode algorithm.
+
+Decode policy (deterministic by construction):
+* font has /ToUnicode        -> CMap decode (codespace-aware byte walk);
+                                unmapped codes become U+FFFD
+* composite font, no CMap    -> 2-byte codes, each U+FFFD (CIDs are glyph
+                                ids; not decodable without the font file)
+* simple font                -> per-byte: /Differences glyph name first,
+                                then the base encoding table, else U+FFFD
+* no font selected           -> latin-1 passthrough (total)
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+
+REPLACEMENT = "�"
+
+# --- glyph names (Adobe Glyph List subset + algorithmic rules) ---------------
+
+#: names that are not derivable from unicodedata lookups
+_GLYPH_OVERRIDES = {
+    ".notdef": "", "space": " ", "exclam": "!", "quotedbl": '"',
+    "numbersign": "#", "dollar": "$", "percent": "%", "ampersand": "&",
+    "quotesingle": "'", "parenleft": "(", "parenright": ")",
+    "asterisk": "*", "plus": "+", "comma": ",", "hyphen": "-",
+    "period": ".", "slash": "/", "zero": "0", "one": "1", "two": "2",
+    "three": "3", "four": "4", "five": "5", "six": "6", "seven": "7",
+    "eight": "8", "nine": "9", "colon": ":", "semicolon": ";", "less": "<",
+    "equal": "=", "greater": ">", "question": "?", "at": "@",
+    "bracketleft": "[", "backslash": "\\", "bracketright": "]",
+    "asciicircum": "^", "underscore": "_", "grave": "`", "braceleft": "{",
+    "bar": "|", "braceright": "}", "asciitilde": "~",
+    "quoteleft": "‘", "quoteright": "’",
+    "quotedblleft": "“", "quotedblright": "”",
+    "quotesinglbase": "‚", "quotedblbase": "„",
+    "endash": "–", "emdash": "—", "bullet": "•",
+    "ellipsis": "…", "dagger": "†", "daggerdbl": "‡",
+    "perthousand": "‰", "fraction": "⁄", "minus": "−",
+    "guillemotleft": "«", "guillemotright": "»",
+    "guilsinglleft": "‹", "guilsinglright": "›",
+    "exclamdown": "¡", "questiondown": "¿", "cent": "¢",
+    "sterling": "£", "yen": "¥", "florin": "ƒ",
+    "currency": "¤", "section": "§", "paragraph": "¶",
+    "periodcentered": "·", "brokenbar": "¦",
+    "copyright": "©", "registered": "®", "trademark": "™",
+    "degree": "°", "plusminus": "±", "multiply": "×",
+    "divide": "÷", "logicalnot": "¬", "mu": "µ",
+    "onequarter": "¼", "onehalf": "½",
+    "threequarters": "¾", "onesuperior": "¹",
+    "twosuperior": "²", "threesuperior": "³",
+    "ordfeminine": "ª", "ordmasculine": "º",
+    "ae": "æ", "AE": "Æ", "oe": "œ", "OE": "Œ",
+    "oslash": "ø", "Oslash": "Ø", "lslash": "ł",
+    "Lslash": "Ł", "germandbls": "ß", "dotlessi": "ı",
+    "dotlessj": "ȷ", "eth": "ð", "Eth": "Ð",
+    "thorn": "þ", "Thorn": "Þ",
+    "fi": "ﬁ", "fl": "ﬂ", "ff": "ﬀ", "ffi": "ﬃ",
+    "ffl": "ﬄ",
+    "acute": "´", "dieresis": "¨", "macron": "¯",
+    "cedilla": "¸", "circumflex": "ˆ", "tilde": "˜",
+    "breve": "˘", "dotaccent": "˙", "ring": "˚",
+    "ogonek": "˛", "caron": "ˇ", "hungarumlaut": "˝",
+    "Euro": "€", "Scaron": "Š", "scaron": "š",
+    "Zcaron": "Ž", "zcaron": "ž", "Ydieresis": "Ÿ",
+    # math / symbol names seen in real Differences arrays
+    "Gamma": "Γ", "Sigma": "Σ", "pi": "π",
+    "infinity": "∞", "integral": "∫", "radical": "√",
+    "notequal": "≠", "lessequal": "≤", "greaterequal": "≥",
+    "element": "∈", "asteriskmath": "∗",
+    "arrowup": "↑", "arrowdown": "↓", "arrowleft": "←",
+    "arrowright": "→", "arrowboth": "↔",
+    "angleleft": "〈", "angleright": "〉",
+}
+
+#: letter + diacritic construction, e.g. 'aacute' -> LATIN SMALL LETTER A
+#: WITH ACUTE (the regular AGL shape for accented Latin letters)
+_DIACRITICS = {
+    "acute": "ACUTE", "grave": "GRAVE", "circumflex": "CIRCUMFLEX",
+    "dieresis": "DIAERESIS", "tilde": "TILDE", "ring": "RING ABOVE",
+    "cedilla": "CEDILLA", "caron": "CARON", "breve": "BREVE",
+    "macron": "MACRON",
+}
+
+_UNI_RE = re.compile(r"^uni([0-9A-Fa-f]{4})$")
+_U_RE = re.compile(r"^u([0-9A-Fa-f]{4,6})$")
+
+
+def glyph_to_unicode(name: str):
+    """Glyph name -> unicode string, or None when unknown."""
+    got = _GLYPH_OVERRIDES.get(name)
+    if got is not None:
+        return got
+    if len(name) == 1:
+        return name
+    m = _UNI_RE.match(name) or _U_RE.match(name)
+    if m:
+        try:
+            return chr(int(m.group(1), 16))
+        except ValueError:
+            return None
+    # accented Latin letters: '<letter><diacritic>'
+    for suffix, dia in _DIACRITICS.items():
+        if name.endswith(suffix) and len(name) == len(suffix) + 1:
+            base = name[0]
+            if base.isalpha() and base.isascii():
+                case = "CAPITAL" if base.isupper() else "SMALL"
+                try:
+                    return unicodedata.lookup(
+                        "LATIN %s LETTER %s WITH %s"
+                        % (case, base.upper(), dia))
+                except KeyError:
+                    return None
+    return None
+
+
+# --- base encodings --------------------------------------------------------------
+
+#: StandardEncoding positions that differ from ASCII / are above 0xA0
+#: (PDF 1.7 Appendix D.2, StandardEncoding column)
+_STD_SPECIAL = {
+    0x27: "’", 0x60: "‘",
+    0xA1: "¡", 0xA2: "¢", 0xA3: "£", 0xA4: "⁄",
+    0xA5: "¥", 0xA6: "ƒ", 0xA7: "§", 0xA8: "¤",
+    0xA9: "'", 0xAA: "“", 0xAB: "«", 0xAC: "‹",
+    0xAD: "›", 0xAE: "ﬁ", 0xAF: "ﬂ",
+    0xB1: "–", 0xB2: "†", 0xB3: "‡", 0xB4: "·",
+    0xB6: "¶", 0xB7: "•", 0xB8: "‚", 0xB9: "„",
+    0xBA: "”", 0xBB: "»", 0xBC: "…", 0xBD: "‰",
+    0xBF: "¿",
+    0xC1: "`", 0xC2: "´", 0xC3: "ˆ", 0xC4: "˜",
+    0xC5: "¯", 0xC6: "˘", 0xC7: "˙", 0xC8: "¨",
+    0xCA: "˚", 0xCB: "¸", 0xCD: "˝", 0xCE: "˛",
+    0xCF: "ˇ", 0xD0: "—",
+    0xE1: "Æ", 0xE3: "ª", 0xE8: "Ł", 0xE9: "Ø",
+    0xEA: "Œ", 0xEB: "º",
+    0xF1: "æ", 0xF5: "ı", 0xF8: "ł", 0xF9: "ø",
+    0xFA: "œ", 0xFB: "ß",
+}
+
+#: WinAnsiEncoding slots cp1252 leaves undefined
+_WINANSI_UNDEFINED = frozenset((0x81, 0x8D, 0x8F, 0x90, 0x9D))
+
+
+def base_encoding_table(name):
+    """Encoding name -> {code: unicode}. Unknown names fall back to
+    StandardEncoding (the PDF default for nonsymbolic simple fonts)."""
+    table = {}
+    if name == "WinAnsiEncoding":
+        for b in range(0x20, 0x100):
+            if b in _WINANSI_UNDEFINED:
+                continue
+            try:
+                table[b] = bytes([b]).decode("cp1252")
+            except UnicodeDecodeError:
+                pass
+    elif name == "MacRomanEncoding":
+        for b in range(0x20, 0x100):
+            table[b] = bytes([b]).decode("mac_roman")
+    else:  # StandardEncoding (and the None default)
+        for b in range(0x20, 0x7F):
+            table[b] = chr(b)
+        table.update(_STD_SPECIAL)
+    return table
+
+
+# --- ToUnicode CMap --------------------------------------------------------------
+
+_CMAP_TOKEN = re.compile(
+    rb"<([0-9A-Fa-f\s]*)>"       # hex string
+    rb"|\[|\]"                   # array brackets
+    rb"|/[^\s/<>\[\]()]*"        # name
+    rb"|[-+]?\d+"                # number
+    rb"|[A-Za-z]+"               # keyword
+)
+
+
+def _hex_bytes(groups: bytes) -> bytes:
+    digits = bytes(c for c in groups if not chr(c).isspace())
+    if len(digits) % 2:
+        digits += b"0"
+    return bytes.fromhex(digits.decode("ascii"))
+
+
+def _utf16(dst: bytes) -> str:
+    return dst.decode("utf-16-be", "replace")
+
+
+class ToUnicodeCMap:
+    """Parsed ToUnicode CMap: codespace-aware multi-byte code walk plus
+    bfchar/bfrange lookups (PDF 1.7 §9.10.3)."""
+
+    def __init__(self):
+        self.codespaces = []        # (nbytes, lo, hi)
+        self.maps = {}              # (nbytes, code) -> str
+        self._lengths = [1]
+
+    def _finish(self):
+        lens = sorted({n for n, _lo, _hi in self.codespaces}) or [1]
+        self._lengths = lens
+
+    def decode(self, data: bytes) -> str:
+        out = []
+        i, n = 0, len(data)
+        default_len = self._lengths[0]
+        while i < n:
+            consumed = 0
+            for ln in self._lengths:
+                if i + ln > n:
+                    continue
+                code = int.from_bytes(data[i:i + ln], "big")
+                in_space = any(
+                    ln == sn and lo <= code <= hi
+                    for sn, lo, hi in self.codespaces)
+                if in_space:
+                    out.append(self.maps.get((ln, code), REPLACEMENT))
+                    consumed = ln
+                    break
+            if not consumed:
+                ln = min(default_len, n - i)
+                code = int.from_bytes(data[i:i + ln], "big")
+                out.append(self.maps.get((ln, code), REPLACEMENT))
+                consumed = ln
+            i += consumed
+        return "".join(out)
+
+
+def parse_tounicode(data: bytes) -> ToUnicodeCMap:
+    cmap = ToUnicodeCMap()
+    toks = []
+    for m in _CMAP_TOKEN.finditer(data):
+        if m.group(1) is not None:
+            toks.append(("hex", _hex_bytes(m.group(1))))
+        else:
+            toks.append(("kw", m.group(0)))
+    i = 0
+    while i < len(toks):
+        kind, val = toks[i]
+        if kind != "kw":
+            i += 1
+            continue
+        if val == b"begincodespacerange":
+            i += 1
+            while i + 1 < len(toks) and toks[i][0] == "hex":
+                lo, hi = toks[i][1], toks[i + 1][1]
+                cmap.codespaces.append(
+                    (len(lo), int.from_bytes(lo, "big"),
+                     int.from_bytes(hi, "big")))
+                i += 2
+        elif val == b"beginbfchar":
+            i += 1
+            while i + 1 < len(toks) and toks[i][0] == "hex" \
+                    and toks[i + 1][0] == "hex":
+                src, dst = toks[i][1], toks[i + 1][1]
+                cmap.maps[(len(src), int.from_bytes(src, "big"))] = \
+                    _utf16(dst)
+                i += 2
+        elif val == b"beginbfrange":
+            i += 1
+            while i < len(toks) and toks[i][0] == "hex":
+                lo, hi = toks[i][1], toks[i + 1][1]
+                lo_i, hi_i = (int.from_bytes(lo, "big"),
+                              int.from_bytes(hi, "big"))
+                nxt = toks[i + 2]
+                if nxt == ("kw", b"["):
+                    j = i + 3
+                    code = lo_i
+                    while j < len(toks) and toks[j] != ("kw", b"]"):
+                        if toks[j][0] == "hex" and code <= hi_i:
+                            cmap.maps[(len(lo), code)] = _utf16(toks[j][1])
+                            code += 1
+                        j += 1
+                    i = j + 1
+                else:
+                    dst = nxt[1]
+                    base = int.from_bytes(dst, "big") if dst else 0
+                    for k in range(hi_i - lo_i + 1):
+                        cmap.maps[(len(lo), lo_i + k)] = _utf16(
+                            (base + k).to_bytes(max(len(dst), 2), "big"))
+                    i += 3
+        else:
+            i += 1
+    cmap._finish()
+    return cmap
+
+
+# --- decoder assembly --------------------------------------------------------------
+
+def build_font_decoder(spec: dict):
+    """spec (plain python, parser-agnostic):
+        tounicode: bytes | None      decoded ToUnicode stream
+        encoding: str | None         base encoding name
+        differences: list | None     PDF Differences array (ints + names)
+        type0: bool                  composite font
+    Returns fn(bytes) -> str."""
+    tu = spec.get("tounicode")
+    if tu:
+        try:
+            cmap = parse_tounicode(tu)
+            if cmap.maps:
+                return cmap.decode
+        except Exception:  # noqa: BLE001 - malformed CMap: fall through
+            pass
+    if spec.get("type0"):
+        def decode_cid(data: bytes) -> str:
+            return REPLACEMENT * ((len(data) + 1) // 2)
+        return decode_cid
+    table = base_encoding_table(spec.get("encoding"))
+    diffs = spec.get("differences")
+    if diffs:
+        code = 0
+        for item in diffs:
+            if isinstance(item, bool):
+                continue
+            if isinstance(item, (int, float)):
+                code = int(item)
+            elif isinstance(item, str):
+                got = glyph_to_unicode(item)
+                table[code] = got if got is not None else REPLACEMENT
+                code += 1
+
+    def decode_simple(data: bytes) -> str:
+        return "".join(table.get(b, REPLACEMENT) for b in data)
+    return decode_simple
+
+
+def latin1_decoder(data: bytes) -> str:
+    """Fallback when no font has been selected: total, reversible."""
+    return data.decode("latin-1")

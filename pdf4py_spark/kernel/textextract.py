@@ -156,3 +156,153 @@ def extract_pdf_text(doc: DocumentParser, pages=None) -> bytes:
         decoded = _content_streams(doc, contents)
         page_texts.append(text_from_content_bytes(b"\n".join(decoded)))
     return b"\n".join(page_texts)
+
+
+# --- font/encoding-aware (unicode) mode --------------------------------------------
+#
+# New capability beyond the reference (which stops at raw string operands):
+# show-op strings are decoded through the page's font resources — ToUnicode
+# CMaps, base encodings, Differences (kernel.fonts). The oracle generator
+# mirrors THIS interpreter over the reference parser, so the byte-identity
+# gate covers two independent parsing stacks feeding one decode algorithm.
+
+def pages_with_resources(doc: DocumentParser):
+    """(page_dict, resources) in document order; Resources is inheritable
+    down the page tree (PDF 1.7 §7.7.3.4)."""
+    catalog = doc.resolve(doc.trailer["Root"])
+    out = []
+
+    def walk(node_ref, inherited):
+        node = doc.resolve(node_ref) if isinstance(node_ref, Ref) else node_ref
+        res = inherited
+        if isinstance(node, dict) and node.get("Resources") is not None:
+            res = node.get("Resources")
+        if isinstance(node, dict) and node.get("Type") == "Pages":
+            for kid in node["Kids"]:
+                walk(kid, res)
+        else:
+            out.append((node, res))
+
+    walk(catalog["Pages"], None)
+    return out
+
+
+def font_decoders(doc: DocumentParser, resources) -> dict:
+    """Font resource name -> decoder fn(bytes) -> str."""
+    from .fonts import build_font_decoder
+
+    if isinstance(resources, Ref):
+        resources = doc.resolve(resources)
+    if not isinstance(resources, dict):
+        return {}
+    fonts = resources.get("Font")
+    if isinstance(fonts, Ref):
+        fonts = doc.resolve(fonts)
+    if not isinstance(fonts, dict):
+        return {}
+    out = {}
+    for name, fref in fonts.items():
+        font = doc.resolve(fref) if isinstance(fref, Ref) else fref
+        if not isinstance(font, dict):
+            continue
+        spec = {"type0": font.get("Subtype") == "Type0",
+                "encoding": None, "differences": None, "tounicode": None}
+        tu = font.get("ToUnicode")
+        if isinstance(tu, Ref):
+            tu = doc.resolve(tu)
+        if isinstance(tu, Stream):
+            try:
+                spec["tounicode"] = tu.payload()
+            except Exception:  # noqa: BLE001 - undecodable CMap stream
+                pass
+        enc = font.get("Encoding")
+        if isinstance(enc, Ref):
+            enc = doc.resolve(enc)
+        if isinstance(enc, str):
+            spec["encoding"] = enc
+        elif isinstance(enc, dict):
+            base = enc.get("BaseEncoding")
+            if isinstance(base, str):
+                spec["encoding"] = base
+            diffs = enc.get("Differences")
+            if isinstance(diffs, Ref):
+                diffs = doc.resolve(diffs)
+            if isinstance(diffs, list):
+                spec["differences"] = diffs
+        out[name] = build_font_decoder(spec)
+    return out
+
+
+def unicode_from_content_bytes(content: bytes, decoders: dict) -> str:
+    """Interpret one decoded content stream tracking the text-font state
+    (Tf selects, q/Q save/restore) and decode every shown string."""
+    from .fonts import latin1_decoder
+
+    scanner = ObjectScanner(excise_inline_images(content), content_mode=True)
+    pieces = []
+    pending = []
+    current = None
+    gs_stack = []
+    while True:
+        try:
+            obj = scanner.parse()
+        except StopIteration:
+            break
+        except Exception:  # same partial-tolerance rule as the raw mode
+            break
+        if not isinstance(obj, Operator):
+            pending.append(obj)
+            continue
+        name = obj.value
+        if name == "Tf":
+            for operand in pending:
+                if isinstance(operand, str):
+                    current = decoders.get(operand)
+                    break
+        elif name == "q":
+            gs_stack.append(current)
+        elif name == "Q":
+            current = gs_stack.pop() if gs_stack else None
+        elif name in _SHOW_OPS or name == "TJ":
+            decode = current if current is not None else latin1_decoder
+            if name == "TJ":
+                for operand in reversed(pending):
+                    if isinstance(operand, list):
+                        for element in operand:
+                            raw = _string_operand(element)
+                            if raw is not None:
+                                pieces.append(decode(raw))
+                        break
+            else:
+                for operand in reversed(pending):
+                    raw = _string_operand(operand)
+                    if raw is not None:
+                        pieces.append(decode(raw))
+                        break
+        pending = []
+    return "".join(pieces)
+
+
+def _string_operand(obj):
+    if isinstance(obj, LiteralString):
+        return obj.value
+    if isinstance(obj, HexString):
+        return _unhex(obj.value)
+    return None
+
+
+def extract_pdf_text_unicode(doc: DocumentParser) -> bytes:
+    """Whole-document unicode extraction: per page, fonts are built from
+    the (inheritable) Resources and the joined content stream is decoded;
+    pages joined with '\\n'; returned as UTF-8 bytes."""
+    page_texts = []
+    for page, resources in pages_with_resources(doc):
+        contents = page.get("Contents") if isinstance(page, dict) else None
+        if contents is None:
+            page_texts.append("")
+            continue
+        decoders = font_decoders(doc, resources)
+        decoded = _content_streams(doc, contents)
+        page_texts.append(
+            unicode_from_content_bytes(b"\n".join(decoded), decoders))
+    return "\n".join(page_texts).encode("utf-8")

@@ -123,6 +123,28 @@ WHERE parse_ok
 """.format(oracle=FIXTURE_ORACLE)
 
 
+def extract_pdf_unicode_md5(spark, sf_dir):
+    """Font/encoding-aware extraction gate: md5 of the UTF-8 unicode text
+    (ToUnicode CMaps + base encodings + Differences, kernel.fonts) per url
+    versus the oracle built by running the SAME decode algorithm over the
+    REFERENCE parser (tools/make_oracle.py) — two independent parsing
+    stacks, one decode contract."""
+    from ..sources.pages import passwords_df
+    pages = spark.read.parquet(FIXTURE_PAGES)
+    result = extract_pages(pages, num_partitions=4,
+                           passwords=passwords_df(spark),
+                           text_mode="unicode")
+    return (result.where("parse_ok and doc_kind = 'pdf'")
+            .select("url", F.md5("extracted").alias("unicode_md5")))
+
+
+PDF_UNICODE_MD5_SQL = """
+SELECT url, unicode_md5
+FROM read_parquet('{oracle}')
+WHERE parse_ok
+""".format(oracle=FIXTURE_ORACLE)
+
+
 def extract_quarantine_counts(spark, sf_dir):
     """Totality contract: every corpus row lands in exactly one status."""
     result = _fixture_extraction(spark)
@@ -201,6 +223,8 @@ QUERIES = {
     "extract_pdf_census": QuerySpec(extract_pdf_census, PDF_CENSUS_SQL),
     "extract_pdf_text_md5": QuerySpec(extract_pdf_text_md5,
                                       PDF_TEXT_MD5_SQL),
+    "extract_pdf_unicode_md5": QuerySpec(extract_pdf_unicode_md5,
+                                         PDF_UNICODE_MD5_SQL),
     "extract_quarantine_counts": QuerySpec(extract_quarantine_counts,
                                            QUARANTINE_SQL),
 }

@@ -48,59 +48,64 @@ EXTRACT_SCHEMA = (
 _EXTRACT_COLS = [c.split()[0] for c in EXTRACT_SCHEMA.split(", ")]
 
 
-def _extract_batches(batches):
+def _make_extract_batches(text_mode: str = "raw"):
     """The Arrow kernel: one Python call per batch; per row it dispatches
     the payload to the PDF or HTML path (kernel.extract.extract_document).
 
-    Imported lazily inside the worker so the closure ships only names.
+    Imported lazily inside the worker so the closure ships only names
+    (plus the text_mode string).
     """
-    from pdf4py_spark.kernel.extract import extract_document
+    def _extract_batches(batches):
+        from pdf4py_spark.kernel.extract import extract_document
 
-    ctx = TaskContext.get()
-    pid = ctx.partitionId() if ctx is not None else -1
-    for pdf in batches:
-        n = len(pdf.index)
-        if n == 0:
-            continue
-        urls = pdf["url"].tolist()
-        stamps = pdf["warc_ts"].tolist()
-        payloads = pdf["html"].tolist()
-        passwords = pdf["password"].tolist() if "password" in pdf else [None] * n
-        pw_is_bytes = (pdf["password_is_bytes"].tolist()
-                       if "password_is_bytes" in pdf else [False] * n)
-        out = {c: [] for c in _EXTRACT_COLS}
-        for i in range(n):
-            pw = passwords[i]
-            if pw is not None and not isinstance(pw, str):
-                pw = None  # NaN from a left join
-            if pw is not None and pw_is_bytes[i]:
-                pw = pw.encode("utf-8")
-            r = extract_document(payloads[i], pw)
-            out["url"].append(urls[i])
-            out["warc_ts"].append(stamps[i])
-            out["doc_kind"].append(r.doc_kind)
-            out["extracted"].append(r.extracted)
-            out["extracted_utf8"].append(
-                r.extracted.decode("utf-8", "replace")
-                if r.extracted is not None else None)
-            out["status"].append(r.status)
-            out["error"].append(r.error)
-            out["n_objects"].append(r.n_objects)
-            out["n_xref_sections"].append(r.n_xref_sections)
-            out["n_compressed_objects"].append(r.n_compressed_objects)
-            out["filters"].append(r.filters)
-            out["decrypt_hit"].append(r.decrypt_hit)
-            out["parse_ok"].append(r.parse_ok)
-            out["n_pages"].append(r.n_pages)
-            out["bytes_in"].append(r.bytes_in)
-            out["bytes_out"].append(r.bytes_out)
-            out["wall_ms"].append(r.wall_ms)
-            out["partition_id"].append(pid)
-        yield pd.DataFrame(out)
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else -1
+        for pdf in batches:
+            n = len(pdf.index)
+            if n == 0:
+                continue
+            urls = pdf["url"].tolist()
+            stamps = pdf["warc_ts"].tolist()
+            payloads = pdf["html"].tolist()
+            passwords = pdf["password"].tolist() if "password" in pdf else [None] * n
+            pw_is_bytes = (pdf["password_is_bytes"].tolist()
+                           if "password_is_bytes" in pdf else [False] * n)
+            out = {c: [] for c in _EXTRACT_COLS}
+            for i in range(n):
+                pw = passwords[i]
+                if pw is not None and not isinstance(pw, str):
+                    pw = None  # NaN from a left join
+                if pw is not None and pw_is_bytes[i]:
+                    pw = pw.encode("utf-8")
+                r = extract_document(payloads[i], pw, text_mode)
+                out["url"].append(urls[i])
+                out["warc_ts"].append(stamps[i])
+                out["doc_kind"].append(r.doc_kind)
+                out["extracted"].append(r.extracted)
+                out["extracted_utf8"].append(
+                    r.extracted.decode("utf-8", "replace")
+                    if r.extracted is not None else None)
+                out["status"].append(r.status)
+                out["error"].append(r.error)
+                out["n_objects"].append(r.n_objects)
+                out["n_xref_sections"].append(r.n_xref_sections)
+                out["n_compressed_objects"].append(r.n_compressed_objects)
+                out["filters"].append(r.filters)
+                out["decrypt_hit"].append(r.decrypt_hit)
+                out["parse_ok"].append(r.parse_ok)
+                out["n_pages"].append(r.n_pages)
+                out["bytes_in"].append(r.bytes_in)
+                out["bytes_out"].append(r.bytes_out)
+                out["wall_ms"].append(r.wall_ms)
+                out["partition_id"].append(pid)
+            yield pd.DataFrame(out)
+
+    return _extract_batches
 
 
 def extract_pages(pages: DataFrame, num_partitions: int = None,
-                  passwords: DataFrame = None) -> DataFrame:
+                  passwords: DataFrame = None,
+                  text_mode: str = "raw") -> DataFrame:
     """Declarative extraction plan over a `pages`-shaped DataFrame
     (url, warc_ts, html[, text, lang]).
 
@@ -119,7 +124,8 @@ def extract_pages(pages: DataFrame, num_partitions: int = None,
         # instead of leaving one straggler with all the heavy documents
         num_partitions = slim.sparkSession.sparkContext.defaultParallelism * 8
     balanced = balanced_repartition(slim, num_partitions)
-    return balanced.mapInPandas(_extract_batches, schema=EXTRACT_SCHEMA)
+    return balanced.mapInPandas(_make_extract_batches(text_mode),
+                                schema=EXTRACT_SCHEMA)
 
 
 def extracted_view(result: DataFrame) -> DataFrame:

@@ -1,0 +1,110 @@
+"""Font/encoding decode layer (kernel.fonts) + the unicode byte-identity
+differential: our kernel vs the reference-parsed oracle (both run the SAME
+decode algorithm; parsing stacks are independent)."""
+
+import hashlib
+import json
+import os
+
+from pdf4py_spark.kernel.fonts import (
+    base_encoding_table, build_font_decoder, glyph_to_unicode,
+    parse_tounicode,
+)
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
+
+
+def test_glyph_names():
+    assert glyph_to_unicode("a") == "a"
+    assert glyph_to_unicode("space") == " "
+    assert glyph_to_unicode("eacute") == "é"
+    assert glyph_to_unicode("Adieresis") == "Ä"
+    assert glyph_to_unicode("quoteright") == "’"
+    assert glyph_to_unicode("uni20AC") == "€"
+    assert glyph_to_unicode("fi") == "ﬁ"
+    assert glyph_to_unicode("nosuchglyphname") is None
+
+
+def test_base_encodings():
+    win = base_encoding_table("WinAnsiEncoding")
+    assert win[0xE9] == "é" and win[0x93] == "“"  # cp1252
+    mac = base_encoding_table("MacRomanEncoding")
+    assert mac[0x8E] == "é"
+    std = base_encoding_table("StandardEncoding")
+    assert std[0x27] == "’" and std[0x60] == "‘"
+    assert std[0xAE] == "ﬁ"  # fi ligature
+
+
+def test_tounicode_cmap_bfchar_and_bfrange():
+    cmap_src = b"""
+    /CIDInit /ProcSet findresource begin
+    begincodespacerange <00> <FF> endcodespacerange
+    2 beginbfchar
+    <01> <0041>
+    <02> <00660066>
+    endbfchar
+    1 beginbfrange
+    <10> <12> <0061>
+    endbfrange
+    endcmap
+    """
+    cmap = parse_tounicode(cmap_src)
+    assert cmap.decode(b"\x01") == "A"
+    assert cmap.decode(b"\x02") == "ff"
+    assert cmap.decode(b"\x10\x11\x12") == "abc"
+    assert cmap.decode(b"\x99") == "�"
+
+
+def test_tounicode_two_byte_codespace():
+    cmap_src = b"""
+    begincodespacerange <0000> <FFFF> endcodespacerange
+    1 beginbfchar <0041> <0058> endbfchar
+    """
+    cmap = parse_tounicode(cmap_src)
+    assert cmap.decode(b"\x00\x41") == "X"
+    assert cmap.decode(b"\x00\x42") == "�"
+
+
+def test_bfrange_array_destination():
+    cmap_src = b"""
+    begincodespacerange <00> <FF> endcodespacerange
+    1 beginbfrange <05> <07> [<0078> <0079> <007A>] endbfrange
+    """
+    cmap = parse_tounicode(cmap_src)
+    assert cmap.decode(b"\x05\x06\x07") == "xyz"
+
+
+def test_differences_override_base():
+    dec = build_font_decoder({"encoding": "WinAnsiEncoding",
+                              "differences": [65, "eacute", "space"],
+                              "tounicode": None, "type0": False})
+    assert dec(b"A") == "é"     # 65 remapped
+    assert dec(b"B") == " "     # 66 remapped (consecutive)
+    assert dec(b"C") == "C"     # untouched -> base encoding
+
+
+def test_type0_without_tounicode_is_replacement_per_2byte_code():
+    dec = build_font_decoder({"type0": True, "encoding": None,
+                              "differences": None, "tounicode": None})
+    assert dec(b"\x00\x41\x00\x42") == "��"
+
+
+def test_unicode_byte_identity_vs_reference_oracle():
+    """THE unicode invariant: kernel unicode extraction is byte-identical
+    to the oracle built over the reference parser for every parse_ok doc."""
+    from pdf4py_spark.kernel.extract import extract_document
+    from pdf4py_spark.sources.corpus import corpus_rows, password_for
+
+    manifest = json.load(open(os.path.join(GOLDEN_DIR, "manifest.json")))
+    payloads = {u: p for u, _t, p, _x, _l in corpus_rows()}
+    checked = 0
+    for url, entry in manifest.items():
+        if not entry.get("parse_ok"):
+            continue
+        r = extract_document(payloads[url], password_for(url),
+                             text_mode="unicode")
+        assert r.status == "ok", (url, r.error)
+        got = hashlib.sha256(r.extracted).hexdigest()
+        assert got == entry["unicode_sha256"], url
+        checked += 1
+    assert checked >= 20

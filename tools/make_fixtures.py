@@ -43,6 +43,7 @@ def main():
     with open(os.path.join(GOLDEN_DIR, "manifest.json")) as fh:
         manifest = json.load(fh)
     urls, extracted, md5s, ok, n_objects, n_pages = [], [], [], [], [], []
+    uni_md5s = []
     for url, entry in sorted(manifest.items()):
         urls.append(url)
         ok.append(entry["parse_ok"])
@@ -51,17 +52,23 @@ def main():
                 data = fh.read()
             extracted.append(data)
             md5s.append(hashlib.md5(data).hexdigest())
+            with open(os.path.join(GOLDEN_DIR, entry["unicode_bin"]),
+                      "rb") as fh:
+                uni = fh.read()
+            uni_md5s.append(hashlib.md5(uni).hexdigest())
             n_objects.append(entry["n_objects"])
             n_pages.append(entry["n_pages"])
         else:
             extracted.append(None)
             md5s.append(None)
+            uni_md5s.append(None)
             n_objects.append(None)
             n_pages.append(None)
     oracle = pa.table({
         "url": pa.array(urls, pa.string()),
         "extracted": pa.array(extracted, pa.binary()),
         "extracted_md5": pa.array(md5s, pa.string()),
+        "unicode_md5": pa.array(uni_md5s, pa.string()),
         "parse_ok": pa.array(ok, pa.bool_()),
         "n_objects": pa.array(n_objects, pa.int32()),
         "n_pages": pa.array(n_pages, pa.int32()),

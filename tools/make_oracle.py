@@ -135,6 +135,143 @@ def oracle_extract(payload: bytes, password):
     return b"\n".join(page_texts), n_objects, len(pages), parser.version
 
 
+# --- unicode mode (font/encoding-aware), mirrored over the reference parser -------
+#
+# The decode algorithm (CMap parsing, encoding tables, Differences) is the
+# SHARED module pdf4py_spark.kernel.fonts; only object access differs:
+# here it is pdf4py (the reference), in the engine it is our kernel.
+
+from pdf4py_spark.kernel.fonts import (  # noqa: E402
+    build_font_decoder, latin1_decoder,
+)
+
+SHOW_OR_TJ = SHOW_OPS + ("TJ",)
+
+
+def _rr(parser, obj):
+    n = 0
+    while isinstance(obj, PDFReference) and n < 16:
+        obj = parser.parse_reference(obj)
+        n += 1
+    return obj
+
+
+def _font_decoders_ref(parser, resources):
+    resources = _rr(parser, resources)
+    if not isinstance(resources, dict):
+        return {}
+    fonts = _rr(parser, resources.get("Font"))
+    if not isinstance(fonts, dict):
+        return {}
+    out = {}
+    for name, fref in fonts.items():
+        font = _rr(parser, fref)
+        if not isinstance(font, dict):
+            continue
+        spec = {"type0": font.get("Subtype") == "Type0",
+                "encoding": None, "differences": None, "tounicode": None}
+        tu = _rr(parser, font.get("ToUnicode"))
+        if isinstance(tu, PDFStream):
+            try:
+                spec["tounicode"] = bytes(tu.stream())
+            except Exception:
+                pass
+        enc = _rr(parser, font.get("Encoding"))
+        if isinstance(enc, str):
+            spec["encoding"] = enc
+        elif isinstance(enc, dict):
+            base = enc.get("BaseEncoding")
+            if isinstance(base, str):
+                spec["encoding"] = base
+            diffs = _rr(parser, enc.get("Differences"))
+            if isinstance(diffs, list):
+                spec["differences"] = diffs
+        out[name] = build_font_decoder(spec)
+    return out
+
+
+def unicode_from_content(content: bytes, decoders: dict) -> str:
+    """Mirror of kernel.textextract.unicode_from_content_bytes over the
+    reference scanner: Tf selects the decoder, q/Q save/restore it."""
+    scanner = SequentialParser(excise_inline_images(content),
+                               content_stream_mode=True)
+    pieces, pending = [], []
+    current = None
+    gs_stack = []
+    while True:
+        try:
+            obj = scanner.parse_object()
+        except StopIteration:
+            break
+        except Exception:
+            break
+        if not isinstance(obj, PDFOperator):
+            pending.append(obj)
+            continue
+        name = obj.value
+        if name == "Tf":
+            for operand in pending:
+                if isinstance(operand, str):
+                    current = decoders.get(operand)
+                    break
+        elif name == "q":
+            gs_stack.append(current)
+        elif name == "Q":
+            current = gs_stack.pop() if gs_stack else None
+        elif name in SHOW_OR_TJ:
+            decode = current if current is not None else latin1_decoder
+            if name == "TJ":
+                for operand in reversed(pending):
+                    if isinstance(operand, list):
+                        for element in operand:
+                            raw = _string_bytes(element)
+                            if raw is not None:
+                                pieces.append(decode(raw))
+                        break
+            else:
+                for operand in reversed(pending):
+                    raw = _string_bytes(operand)
+                    if raw is not None:
+                        pieces.append(decode(raw))
+                        break
+        pending = []
+    return "".join(pieces)
+
+
+def _pages_with_resources_ref(parser):
+    catalog = parser.parse_reference(parser.trailer["Root"])
+    out = []
+
+    def walk(node_ref, inherited):
+        node = (parser.parse_reference(node_ref)
+                if isinstance(node_ref, PDFReference) else node_ref)
+        res = inherited
+        if isinstance(node, dict) and node.get("Resources") is not None:
+            res = node.get("Resources")
+        if isinstance(node, dict) and node.get("Type") == "Pages":
+            for kid in node["Kids"]:
+                walk(kid, res)
+        else:
+            out.append((node, res))
+
+    walk(catalog["Pages"], None)
+    return out
+
+
+def oracle_extract_unicode(payload: bytes, password) -> bytes:
+    parser = Parser(payload, password)
+    page_texts = []
+    for page, resources in _pages_with_resources_ref(parser):
+        contents = page.get("Contents") if isinstance(page, dict) else None
+        if contents is None:
+            page_texts.append("")
+            continue
+        decoders = _font_decoders_ref(parser, resources)
+        decoded = [bytes(s) for s in content_streams(parser, contents)]
+        page_texts.append(unicode_from_content(b"\n".join(decoded), decoders))
+    return "\n".join(page_texts).encode("utf-8")
+
+
 def main():
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     manifest = {}
@@ -149,10 +286,16 @@ def main():
             name = url.rsplit("/", 1)[-1].replace(".", "_") + ".bin"
             with open(os.path.join(GOLDEN_DIR, name), "wb") as fh:
                 fh.write(extracted)
+            uni = oracle_extract_unicode(payload, password_for(url))
+            uname = "uni_" + name
+            with open(os.path.join(GOLDEN_DIR, uname), "wb") as fh:
+                fh.write(uni)
             entry = {
                 "parse_ok": True,
                 "bin": name,
                 "sha256": hashlib.sha256(extracted).hexdigest(),
+                "unicode_bin": uname,
+                "unicode_sha256": hashlib.sha256(uni).hexdigest(),
                 "n_objects": n_objects,
                 "n_pages": n_pages,
                 "version": version,
