@@ -73,11 +73,13 @@ def bench_extract(spark, copies: int):
         F.sum(F.octet_length("html"))).collect()[0][0]
     from pdf4py_spark.sources.pages import amplified_passwords_df
     passwords = amplified_passwords_df(spark, copies)
-    # fine-grained partitions: the per-doc cost tail (2.5 MB PDFs take
-    # ~2 s each) must spread 1-2 docs per partition or it becomes the
-    # wall-clock floor at high core counts
+    # cpus*8 partitions: enough oversplit that the salted repartition
+    # spreads the heavy-document tail (2.5 MB PDFs ~2 s each) across
+    # cores, WITHOUT the per-task overhead of doc-level splitting —
+    # measured on this box: 1800 tasks at 8 cores costs +50% wall vs 64,
+    # and 1800 at 32 cores +27% vs 256 (round-2 partition sweep)
     cpus = spark.sparkContext.defaultParallelism
-    n_parts = min(max(cpus * 8, n_docs // 2), 4096)
+    n_parts = min(max(cpus * 8, 8), 4096)
     start = time.perf_counter()
     result = extract_pages(pages, num_partitions=n_parts,
                            passwords=passwords)

@@ -44,6 +44,12 @@ def main():
     ap.add_argument("--passwords", default=None,
                     help="optional parquet with (url, password, "
                          "password_is_bytes)")
+    ap.add_argument("--text-mode", choices=("raw", "unicode"),
+                    default="raw",
+                    help="'raw' = byte-identical string operands (the "
+                         "reference contract); 'unicode' = font/encoding-"
+                         "aware decoding (ToUnicode CMaps, base encodings, "
+                         "Differences)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -58,7 +64,8 @@ def main():
     outcome = run_resumable(
         spark, args.source, args.output,
         n_shards=args.shards, num_partitions=args.partitions,
-        passwords=passwords, max_shards=args.max_shards)
+        passwords=passwords, max_shards=args.max_shards,
+        text_mode=args.text_mode)
     print(json.dumps(outcome))
     spark.stop()
 

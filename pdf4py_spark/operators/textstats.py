@@ -164,9 +164,91 @@ FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
 """
 
 
+# --- BM25 ranked retrieval ------------------------------------------------------
+
+#: fixed query terms for the gated check; pass `terms=` for other queries
+BM25_TERMS = ("hash", "join", "window")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 10
+
+
+def bm25_search(spark, sf_dir, terms=BM25_TERMS):
+    """Okapi BM25 over the documents table (Lucene-style idf =
+    ln(1 + (N - df + 0.5)/(df + 0.5))), top-k by score.
+
+    100 TB shape: one token explode filtered to the |terms| query words
+    BEFORE the aggregate (predicate on the exploded value keeps the
+    shuffle at O(matching postings), not O(corpus tokens)); doc lengths
+    and N/avgdl are tiny aggregates broadcast back. Scores rounded to 4
+    decimals so last-ulp libm drift can't flip the cross-engine hash."""
+    docs = table(spark, sf_dir, "documents")
+    with_len = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("double").alias("dl"),
+        F.split("text", " ").alias("toks"))
+    stats = with_len.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    tf = (with_len
+          .select("doc_id", "dl", F.explode("toks").alias("w"))
+          .where(F.col("w").isin(*terms))
+          .groupBy("doc_id", "dl", "w")
+          .agg(F.count("*").cast("double").alias("tf")))
+    df = tf.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (tf.join(F.broadcast(df), "w")
+              .crossJoin(F.broadcast(stats))
+              .withColumn("idf", F.log(
+                  F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5)
+                  / (F.col("df") + 0.5)))
+              .withColumn("contrib",
+                          F.col("idf") * F.col("tf") * (BM25_K1 + 1)
+                          / (F.col("tf") + BM25_K1
+                             * (1 - BM25_B
+                                + BM25_B * F.col("dl") / F.col("avgdl"))))
+              .groupBy("doc_id")
+              .agg(F.round(F.sum("contrib"), 4).alias("score")))
+    from pyspark.sql import Window
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= BM25_TOP_K)
+            .select("doc_id", "score", "rank"))
+
+
+BM25_SQL = """
+WITH with_len AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl,
+         string_split(text, ' ') AS toks
+  FROM documents
+),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM with_len),
+tf AS (
+  SELECT doc_id, dl, w, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM (SELECT doc_id, dl, unnest(toks) AS w FROM with_len)
+  WHERE w IN ('hash', 'join', 'window')
+  GROUP BY doc_id, dl, w
+),
+df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY w),
+scored AS (
+  SELECT doc_id,
+         ROUND(SUM(ln(1.0 + (n_docs - df.df + 0.5) / (df.df + 0.5))
+                   * tf * (1.2 + 1)
+                   / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4)
+           AS score
+  FROM tf JOIN df USING (w) CROSS JOIN stats
+  GROUP BY doc_id
+),
+ranked AS (
+  SELECT doc_id, score,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, score, rank FROM ranked WHERE rank <= 10
+"""
+
+
 QUERIES = {
     "text_quality": QuerySpec(text_quality, TEXT_QUALITY_SQL),
     "lang_id": QuerySpec(lang_id, LANG_ID_SQL),
     "token_rollup": QuerySpec(token_rollup, TOKEN_ROLLUP_SQL),
     "fingerprint": QuerySpec(fingerprint, FINGERPRINT_SQL),
+    "bm25_search": QuerySpec(bm25_search, BM25_SQL),
 }

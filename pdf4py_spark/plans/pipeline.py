@@ -219,7 +219,8 @@ def _commit_shard(output_path: str, shard: int, snapshot_id: int, n_rows: int):
 
 def run_resumable(spark: SparkSession, source_path: str, output_path: str,
                   n_shards: int = 4, num_partitions: int = None,
-                  passwords: DataFrame = None, max_shards: int = None) -> dict:
+                  passwords: DataFrame = None, max_shards: int = None,
+                  text_mode: str = "raw") -> dict:
     """Checkpointed extraction: the corpus is split into ``n_shards`` stable
     url-hash shards; each shard is extracted and appended atomically, then
     its manifest record is committed. Re-runs skip committed shards
@@ -250,7 +251,7 @@ def run_resumable(spark: SparkSession, source_path: str, output_path: str,
             break
         subset = keyed.where(F.col("_shard") == shard).drop("_shard")
         result = extract_pages(subset, num_partitions=num_partitions,
-                               passwords=passwords)
+                               passwords=passwords, text_mode=text_mode)
         out = result.withColumn("_shard", F.lit(shard))
         # shard write + manifest commit are two steps; if a previous run
         # died between them, the shard's parquet partition exists without a
