@@ -206,8 +206,11 @@ class ToUnicodeCMap:
         self._lengths = [1]
 
     def _finish(self):
-        lens = sorted({n for n, _lo, _hi in self.codespaces}) or [1]
-        self._lengths = lens
+        # zero-length codespaces (malformed '<>') would consume no bytes
+        # and loop forever in decode — drop them
+        lens = sorted({n for n, _lo, _hi in self.codespaces if n >= 1})
+        self._lengths = lens or [1]
+        self.codespaces = [c for c in self.codespaces if c[0] >= 1]
 
     def decode(self, data: bytes) -> str:
         out = []

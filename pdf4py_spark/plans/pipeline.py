@@ -254,18 +254,37 @@ def run_resumable(spark: SparkSession, source_path: str, output_path: str,
                                passwords=passwords, text_mode=text_mode)
         out = result.withColumn("_shard", F.lit(shard))
         # shard write + manifest commit are two steps; if a previous run
-        # died between them, the shard's parquet partition exists without a
-        # manifest record. Replace, don't append, so retries are exact-once.
-        shard_dir = os.path.join(output_path, "extracted",
-                                 "_shard=%d" % shard)
-        if os.path.isdir(shard_dir):
-            shutil.rmtree(shard_dir)
+        # died between them, the shard's parquet partitions exist without a
+        # manifest record. Replace, don't append, so retries are exact-once
+        # (the companion tables follow the same rule).
+        attempt = 0
+        for tbl in ("extracted", "metrics", "lineage"):
+            shard_dir = os.path.join(output_path, tbl, "_shard=%d" % shard)
+            if os.path.isdir(shard_dir):
+                shutil.rmtree(shard_dir)
+                attempt = 1
+                # drop the session's cached file listing for the table we
+                # just mutated, or later reads resolve deleted part files
+                spark.catalog.refreshByPath(os.path.join(output_path, tbl))
         (out.write.mode("append")
             .partitionBy("_shard")
             .parquet(os.path.join(output_path, "extracted")))
-        n_rows = spark.read.parquet(
+        # companion metrics + lineage tables (north rule: per-partition
+        # lineage rows and extraction metrics alongside the output) are
+        # DERIVED from the just-written parquet — one cheap columnar
+        # read-back, never a kernel re-run
+        shard_df = spark.read.parquet(
             os.path.join(output_path, "extracted")).where(
-            F.col("_shard") == shard).count()
+            F.col("_shard") == shard)
+        n_rows = shard_df.count()
+        (metrics_view(shard_df).withColumn("_shard", F.lit(shard))
+            .write.mode("append").partitionBy("_shard")
+            .parquet(os.path.join(output_path, "metrics")))
+        (lineage_view(shard_df, attempt=attempt,
+                      input_snapshot_id=snapshot_id)
+            .withColumn("_shard", F.lit(shard))
+            .write.mode("append").partitionBy("_shard")
+            .parquet(os.path.join(output_path, "lineage")))
         _commit_shard(output_path, shard, snapshot_id, n_rows)
         processed.append(shard)
     return {"processed": processed, "skipped": skipped,

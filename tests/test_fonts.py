@@ -108,3 +108,29 @@ def test_unicode_byte_identity_vs_reference_oracle():
         assert got == entry["unicode_sha256"], url
         checked += 1
     assert checked >= 20
+
+
+def test_zero_length_codespace_does_not_loop():
+    cmap = parse_tounicode(b"begincodespacerange <> <> endcodespacerange"
+                           b" 1 beginbfchar <41> <0042> endbfchar")
+    assert cmap.decode(b"A\x00") == "B�"
+
+
+def test_build_font_decoder_total_on_garbage():
+    """Totality: arbitrary ToUnicode bytes and any encoding name must
+    yield a working decoder (the quarantine contract reaches down here)."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(max_size=300),
+           st.sampled_from([None, "WinAnsiEncoding", "MacRomanEncoding",
+                            "StandardEncoding", "NoSuchEncoding"]),
+           st.booleans())
+    def check(tounicode, enc, type0):
+        dec = build_font_decoder({"tounicode": tounicode, "encoding": enc,
+                                  "differences": [0, "eacute", 300, "x"],
+                                  "type0": type0})
+        out = dec(b"\x00\x01 abc\xff\xfe")
+        assert isinstance(out, str)
+
+    check()

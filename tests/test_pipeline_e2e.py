@@ -196,3 +196,34 @@ def test_dispatch_kind_honors_payload_argument(spark):
         "doc_kind", dispatch_kind(F.col("payload"))).collect()}
     assert kinds["crawl://pdfs/0000.pdf"] == "pdf"
     assert kinds["crawl://html/0001.html"] == "html"
+
+
+def test_resumable_writes_companion_metrics_and_lineage(spark, tmp_path):
+    """The resumable job must emit the metrics and lineage companion
+    tables per shard (north rule), consistent with the extracted table."""
+    src = str(tmp_path / "pages_src3")
+    out = str(tmp_path / "out3")
+    write_pages_parquet(spark, src)
+    run_resumable(spark, src, out, n_shards=2, num_partitions=2,
+                  passwords=passwords_df(spark))
+    metrics = spark.read.parquet(os.path.join(out, "metrics"))
+    n_docs = spark.read.parquet(os.path.join(out, "extracted")).count()
+    assert metrics.count() == n_docs  # one metrics row per doc
+    assert set(metrics.columns) >= {"url", "parse_ok", "bytes_in",
+                                    "bytes_out", "wall_ms", "_shard"}
+    lin = spark.read.parquet(os.path.join(out, "lineage")).collect()
+    assert sum(r["n_rows"] for r in lin) == n_docs
+    assert all(r["attempt"] == 0 for r in lin)
+    snap = {r["input_snapshot_id"] for r in lin}
+    assert len(snap) == 1
+
+    # crash-window retry: companion partitions must be replaced too
+    os.remove(os.path.join(out, "_manifest", "shard-00000.json"))
+    run_resumable(spark, src, out, n_shards=2, num_partitions=2,
+                  passwords=passwords_df(spark))
+    for tbl in ("extracted", "metrics", "lineage"):
+        spark.catalog.refreshByPath(os.path.join(out, tbl))
+    assert spark.read.parquet(os.path.join(out, "metrics")).count() == n_docs
+    lin2 = spark.read.parquet(os.path.join(out, "lineage")).collect()
+    assert sum(r["n_rows"] for r in lin2) == n_docs
+    assert {r["attempt"] for r in lin2} == {0, 1}  # shard 0 was a retry
