@@ -8,6 +8,8 @@ Five families, all fully relational (JVM-side, shuffle-bounded):
                      signature-estimated Jaccard
 * minhash_clusters — min-id canonical clusters straight from the band
                      buckets, no pair materialization (the 100 TB path)
+* minhash_cc       — TRUE transitive-closure clusters: iterative min-label
+                     propagation to fixpoint (oracle: recursive CTE)
 * simhash          — 16-bit bitwise-majority fingerprint from token digests
 * ngram_jaccard    — word-trigram Jaccard inside bounded blocking keys
 
@@ -169,6 +171,42 @@ def dedup_minhash_clusters(spark, sf_dir):
         (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"))
 
 
+def dedup_minhash_cc(spark, sf_dir, max_iters: int = 20):
+    """TRUE connected components over the doc—bucket LSH graph: iterative
+    min-label propagation (doc -> its buckets -> back) to fixpoint. One-hop
+    min-id clustering (dedup_minhash_clusters) under-merges chains
+    A~B~C where A,C share no bucket; this converges to the transitive
+    closure in O(component diameter) rounds.
+
+    100 TB shape: each round is two hash aggregates + one join on the
+    bounded (band, key) space — the alternating-propagation form of the
+    large-star/small-star CC algorithm; lineage is truncated per round
+    (localCheckpoint) so plans don't grow with iterations."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    buckets = _band_buckets(
+        _minhash_sig(_docs(spark, sf_dir).select("doc_id", "text")))
+    return _cc_from_buckets(docs, buckets, max_iters)
+
+
+def _cc_from_buckets(docs, buckets, max_iters: int = 20):
+    buckets = buckets.localCheckpoint()
+    lab = docs.select("doc_id", F.col("doc_id").alias("lbl"))
+    for _ in range(max_iters):
+        bucket_min = (buckets.join(lab, "doc_id")
+                      .groupBy("band", "key").agg(F.min("lbl").alias("bm")))
+        new_lab = (buckets.join(bucket_min, ["band", "key"])
+                   .groupBy("doc_id").agg(F.min("bm").alias("lbl"))
+                   .localCheckpoint())
+        changed = (lab.alias("o").join(new_lab.alias("n"), "doc_id")
+                   .where(F.col("o.lbl") != F.col("n.lbl")).count())
+        lab = new_lab
+        if changed == 0:
+            break
+    return lab.select("doc_id", F.col("lbl").alias("cluster_id"),
+                      (F.col("doc_id") == F.col("lbl"))
+                      .alias("is_canonical"))
+
+
 def _minhash_sig_sql():
     mins = ",\n           ".join(
         "MIN(({a} * h + {b}) % {p}) AS mh{i}".format(
@@ -229,6 +267,26 @@ WHERE ROUND(({match_sum}) / CAST({n} AS DOUBLE), 4) >= 0.5
            match_sum=" + ".join(
                "CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END".format(i=i)
                for i in range(N_PERMS)))
+
+
+DEDUP_MINHASH_CC_SQL = """
+WITH RECURSIVE {sig},
+  bands AS (
+    {bands}
+  ),
+  edge AS (
+    SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+    FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+  ),
+  reach(u, v) AS (
+    SELECT doc_id, doc_id FROM sig
+    UNION
+    SELECT r.u, e.v FROM reach r JOIN edge e ON r.v = e.u
+  )
+SELECT u AS doc_id, CAST(MIN(v) AS BIGINT) AS cluster_id,
+       u = MIN(v) AS is_canonical
+FROM reach GROUP BY u
+""".format(sig=_minhash_sig_sql(), bands=_bands_sql())
 
 
 DEDUP_MINHASH_CLUSTERS_SQL = """
@@ -404,6 +462,7 @@ QUERIES = {
     "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, DEDUP_MINHASH_SQL),
     "dedup_minhash_clusters": QuerySpec(dedup_minhash_clusters,
                                         DEDUP_MINHASH_CLUSTERS_SQL),
+    "dedup_minhash_cc": QuerySpec(dedup_minhash_cc, DEDUP_MINHASH_CC_SQL),
     "dedup_simhash": QuerySpec(dedup_simhash, DEDUP_SIMHASH_SQL),
     "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
 }

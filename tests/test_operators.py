@@ -125,3 +125,20 @@ def test_embedding_neardup_finds_planted_pairs(spark):
             for r in _neardup_pairs(emb).collect()}
     assert (1, 2) in rows and rows[(1, 2)] >= 0.99
     assert (1, 3) not in rows and (2, 3) not in rows
+
+
+def test_minhash_cc_merges_transitive_chains(spark):
+    """A~B share bucket x, B~C share bucket y, A and C share nothing:
+    one-hop min-id clustering leaves C in cluster min(B,C); true CC must
+    put all three in cluster A."""
+    from pdf4py_spark.operators.dedup import _cc_from_buckets
+    docs = spark.createDataFrame([(1,), (2,), (3,), (9,)], "doc_id bigint")
+    buckets = spark.createDataFrame(
+        [(1, 0, "x"), (2, 0, "x"),     # A~B
+         (2, 1, "y"), (3, 1, "y"),     # B~C
+         (9, 0, "z")],                 # isolated
+        "doc_id bigint, band int, key string")
+    got = {r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+           for r in _cc_from_buckets(docs, buckets).collect()}
+    assert got == {1: (1, True), 2: (1, False), 3: (1, False),
+                   9: (9, True)}
