@@ -111,6 +111,7 @@ BENCH_QUERIES = (
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_minhash_clusters",
+    "dedup_minhash_cc",
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "ann_cosine_topk",
@@ -120,6 +121,7 @@ BENCH_QUERIES = (
     "text_quality",
     "token_rollup",
     "fingerprint",
+    "bm25_search",
     "pricing_summary",
     "revenue_by_nation",
     "top_orders_per_segment",
