@@ -181,7 +181,12 @@ def dedup_minhash_cc(spark, sf_dir, max_iters: int = 20):
     100 TB shape: each round is two hash aggregates + one join on the
     bounded (band, key) space — the alternating-propagation form of the
     large-star/small-star CC algorithm; lineage is truncated per round
-    (localCheckpoint) so plans don't grow with iterations."""
+    (localCheckpoint) so plans don't grow with iterations.
+
+    NOTE on the oracle: the DuckDB WITH RECURSIVE transitive closure is
+    exact but O(sum over components of |C|^2) — it verifies in seconds at
+    the driver's sf0.01 gate and is NOT meant for large SFs (the Spark
+    side stays linear per round; only the SQL cross-check is quadratic)."""
     docs = _docs(spark, sf_dir).select("doc_id")
     buckets = _band_buckets(
         _minhash_sig(_docs(spark, sf_dir).select("doc_id", "text")))
