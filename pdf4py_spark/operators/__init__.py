@@ -25,11 +25,14 @@ def table(spark, sf_dir: str, name: str):
 
 
 def all_queries():
-    from . import dedup, extraction_queries, multimodal, relational, similarity, textstats
+    from . import (
+        dedup, extraction_queries, multimodal, relational, similarity,
+        streaming_queries, textstats,
+    )
 
     merged = {}
     for mod in (dedup, similarity, textstats, relational,
-                extraction_queries, multimodal):
+                extraction_queries, multimodal, streaming_queries):
         overlap = set(merged) & set(mod.QUERIES)
         if overlap:
             raise ValueError("duplicate query names: %r" % overlap)
