@@ -204,6 +204,48 @@ FROM sessions GROUP BY user_id, session_seq
 """
 
 
+def sessionize_native(spark, sf_dir):
+    """The same sessionization computed with Spark's BUILT-IN
+    session_window operator (dynamic-gap session merging) instead of
+    hand-rolled gaps-and-islands — the two must agree, and the oracle pins
+    the shared semantic: a gap >= 30 minutes starts a new session
+    (session_window ends are exclusive, so an event landing exactly at
+    start+gap opens a new window)."""
+    ev = table(spark, sf_dir, "events")
+    return (ev.groupBy(
+        "user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum(F.col("value").cast("decimal(18,4)"))
+                     .cast("double"), 2).alias("value_sum"),
+             F.expr("timestampdiff(MICROSECOND, "
+                    "TIMESTAMP_NTZ '1970-01-01 00:00:00', min(ts))")
+             .alias("session_start_us"))
+        .select("user_id", "session_start_us", "n_events", "value_sum"))
+
+
+SESSIONIZE_NATIVE_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL '30' MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT user_id, epoch_us(MIN(ts)) AS session_start_us,
+       COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2)
+         AS value_sum
+FROM sessions GROUP BY user_id, session_seq
+"""
+
+
 def pricing_cube(spark, sf_dir):
     """Grouping sets: CUBE over (returnflag, linestatus) with decimal-exact
     sums and grouping-id markers."""
@@ -261,4 +303,5 @@ QUERIES = {
                                         TOP_ORDERS_SQL),
     "events_hourly": QuerySpec(events_hourly, EVENTS_HOURLY_SQL),
     "sessionize": QuerySpec(sessionize, SESSIONIZE_SQL),
+    "sessionize_native": QuerySpec(sessionize_native, SESSIONIZE_NATIVE_SQL),
 }
