@@ -238,6 +238,15 @@ class ToUnicodeCMap:
         return "".join(out)
 
 
+# Hostile-input bounds (ADVICE r2): a ~130-byte CMap can declare
+# bfrange <00000000> <ffffffff> and ask for 4B expansions. pdf.js caps the
+# per-range span at 0xFFFF (MAX_MAP_RANGE in its CMap parser); we match that
+# and additionally bound the whole map. Shared with tools/make_oracle.py, so
+# the clamp is byte-identical on both sides of the gate.
+MAX_BFRANGE_SPAN = 0xFFFF
+MAX_CMAP_ENTRIES = 1 << 20
+
+
 def parse_tounicode(data: bytes) -> ToUnicodeCMap:
     cmap = ToUnicodeCMap()
     toks = []
@@ -254,7 +263,8 @@ def parse_tounicode(data: bytes) -> ToUnicodeCMap:
             continue
         if val == b"begincodespacerange":
             i += 1
-            while i + 1 < len(toks) and toks[i][0] == "hex":
+            while (i + 1 < len(toks) and toks[i][0] == "hex"
+                   and toks[i + 1][0] == "hex"):
                 lo, hi = toks[i][1], toks[i + 1][1]
                 cmap.codespaces.append(
                     (len(lo), int.from_bytes(lo, "big"),
@@ -265,32 +275,46 @@ def parse_tounicode(data: bytes) -> ToUnicodeCMap:
             while i + 1 < len(toks) and toks[i][0] == "hex" \
                     and toks[i + 1][0] == "hex":
                 src, dst = toks[i][1], toks[i + 1][1]
-                cmap.maps[(len(src), int.from_bytes(src, "big"))] = \
-                    _utf16(dst)
+                if len(cmap.maps) < MAX_CMAP_ENTRIES:
+                    cmap.maps[(len(src), int.from_bytes(src, "big"))] = \
+                        _utf16(dst)
                 i += 2
         elif val == b"beginbfrange":
             i += 1
-            while i < len(toks) and toks[i][0] == "hex":
+            # a truncated CMap must keep every fully-parsed mapping so far
+            # (earlier code raised IndexError on toks[i+1]/toks[i+2] and the
+            # caller dropped the whole CMap)
+            while (i + 2 < len(toks) and toks[i][0] == "hex"
+                   and toks[i + 1][0] == "hex"):
                 lo, hi = toks[i][1], toks[i + 1][1]
                 lo_i, hi_i = (int.from_bytes(lo, "big"),
                               int.from_bytes(hi, "big"))
+                hi_i = min(hi_i, lo_i + MAX_BFRANGE_SPAN)
                 nxt = toks[i + 2]
                 if nxt == ("kw", b"["):
                     j = i + 3
                     code = lo_i
                     while j < len(toks) and toks[j] != ("kw", b"]"):
-                        if toks[j][0] == "hex" and code <= hi_i:
+                        if (toks[j][0] == "hex" and code <= hi_i
+                                and len(cmap.maps) < MAX_CMAP_ENTRIES):
                             cmap.maps[(len(lo), code)] = _utf16(toks[j][1])
                             code += 1
                         j += 1
                     i = j + 1
-                else:
+                elif nxt[0] == "hex":
                     dst = nxt[1]
                     base = int.from_bytes(dst, "big") if dst else 0
-                    for k in range(hi_i - lo_i + 1):
+                    span = min(hi_i - lo_i + 1,
+                               MAX_CMAP_ENTRIES - len(cmap.maps))
+                    width = max(len(dst), 2)
+                    for k in range(span):
+                        v = base + k
+                        w = max(width, (v.bit_length() + 7) // 8)
                         cmap.maps[(len(lo), lo_i + k)] = _utf16(
-                            (base + k).to_bytes(max(len(dst), 2), "big"))
+                            v.to_bytes(w, "big"))
                     i += 3
+                else:
+                    break
         else:
             i += 1
     cmap._finish()

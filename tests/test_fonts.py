@@ -116,6 +116,52 @@ def test_zero_length_codespace_does_not_loop():
     assert cmap.decode(b"A\x00") == "B�"
 
 
+def test_bfrange_span_is_capped():
+    """Hostile-input bound (ADVICE r2): a tiny CMap declaring
+    <00000000>..<3fffff> (4.2M entries) or ..<ffffffff> (~4B) must clamp to
+    MAX_BFRANGE_SPAN entries and return promptly instead of grinding/OOMing
+    an executor."""
+    import time
+    from pdf4py_spark.kernel.fonts import MAX_BFRANGE_SPAN
+
+    cmap_src = (b"begincodespacerange <00000000> <ffffffff>"
+                b" endcodespacerange 1 beginbfrange"
+                b" <00000000> <ffffffff> <00410041> endbfrange")
+    t0 = time.monotonic()
+    cmap = parse_tounicode(cmap_src)
+    assert time.monotonic() - t0 < 5.0
+    assert len(cmap.maps) == MAX_BFRANGE_SPAN + 1
+    # mapped region decodes, clamped region falls back to replacement
+    assert cmap.decode(b"\x00\x00\x00\x00") == "AA"
+    assert cmap.decode(b"\x7f\x00\x00\x00") == "�"
+
+
+def test_total_cmap_entries_capped():
+    from pdf4py_spark.kernel.fonts import MAX_CMAP_ENTRIES
+
+    n_ranges = MAX_CMAP_ENTRIES // 0x10000 + 2
+    body = b" ".join(
+        b"<%08x> <%08x> <0041>" % (k << 20, (k << 20) + 0xFFFFF)
+        for k in range(n_ranges))
+    cmap = parse_tounicode(b"begincodespacerange <00000000> <ffffffff>"
+                           b" endcodespacerange " + str(n_ranges).encode()
+                           + b" beginbfrange " + body + b" endbfrange")
+    assert len(cmap.maps) <= MAX_CMAP_ENTRIES
+
+
+def test_truncated_bfrange_keeps_earlier_mappings():
+    """ADVICE r2 low: a CMap cut off mid-bfrange used to raise IndexError,
+    and build_font_decoder then discarded ALL earlier mappings."""
+    cmap = parse_tounicode(b"2 beginbfchar <01> <0041> <02> <0042> endbfchar"
+                           b" 1 beginbfrange <10> <12>")  # truncated here
+    assert cmap.decode(b"\x01\x02") == "AB"
+    dec = build_font_decoder({
+        "tounicode": b"1 beginbfchar <41> <00E9> endbfchar"
+                     b" 9 beginbfrange <50>",
+        "encoding": None, "differences": None, "type0": False})
+    assert dec(b"A") == "é"  # partial CMap survives, not base-encoding A
+
+
 def test_build_font_decoder_total_on_garbage():
     """Totality: arbitrary ToUnicode bytes and any encoding name must
     yield a working decoder (the quarantine contract reaches down here)."""
