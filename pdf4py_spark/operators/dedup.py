@@ -386,7 +386,20 @@ def dedup_ngram_jaccard(spark, sf_dir):
     must share at least one trigram whose (source, trigram) document
     frequency is <= MAX_TRIGRAM_DF; each candidate is then verified with
     the EXACT Jaccard over the full trigram sets. Bounds every block at
-    MAX_TRIGRAM_DF docs while keeping the emitted statistic exact."""
+    MAX_TRIGRAM_DF docs while keeping the emitted statistic exact.
+
+    Scale shape (r2 verdict fix): the trigram relation feeds FOUR
+    consumers (the DF-cap aggregate, the per-doc sizes aggregate, and
+    both sides of the verification join) — it is narrowed to
+    (doc_id, source, gh BIGINT) with gh a 60-bit md5-prefix hash of the
+    trigram text (the same portable construction the minhash family
+    uses, mirrored in the oracle so cross-engine results stay identical
+    under any collision), then persisted MEMORY_AND_DISK so the text is
+    split/exploded/hashed exactly once instead of once per consumer, and
+    every downstream shuffle carries an 8-byte key instead of the
+    trigram string."""
+    from pyspark.storagelevel import StorageLevel
+
     docs = _docs(spark, sf_dir).where("size(split(text, ' ')) >= 3")
     tri = (docs.withColumn("toks", F.split("text", " "))
            .select(
@@ -395,17 +408,22 @@ def dedup_ngram_jaccard(spark, sf_dir):
                    "transform(sequence(1, size(toks) - 2),"
                    " i -> concat_ws(' ', element_at(toks, i),"
                    " element_at(toks, i + 1),"
-                   " element_at(toks, i + 2)))"))).alias("g")))
+                   " element_at(toks, i + 2)))"))).alias("g"))
+           .select(
+               "doc_id", "source",
+               F.expr("cast(conv(substring(md5(g), 1, 15), 16, 10)"
+                      " as bigint)").alias("gh"))
+           .persist(StorageLevel.MEMORY_AND_DISK))
     sizes = tri.groupBy("doc_id").agg(F.count("*").alias("n"))
-    rare = (tri.groupBy("source", "g")
+    rare = (tri.groupBy("source", "gh")
             .agg(F.count("*").alias("df"))
             .where(F.col("df") <= MAX_TRIGRAM_DF)
-            .select("source", "g"))
-    rare_tri = tri.join(rare, ["source", "g"])
+            .select("source", "gh"))
+    rare_tri = tri.join(rare, ["source", "gh"])
     cand = (rare_tri.alias("a").join(
         rare_tri.alias("b"),
         (F.col("a.source") == F.col("b.source"))
-        & (F.col("a.g") == F.col("b.g"))
+        & (F.col("a.gh") == F.col("b.gh"))
         & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("id_a"),
                 F.col("b.doc_id").alias("id_b"))
@@ -414,7 +432,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
              .join(tri.alias("ta"), F.col("ta.doc_id") == F.col("id_a"))
              .join(tri.alias("tb"),
                    (F.col("tb.doc_id") == F.col("id_b"))
-                   & (F.col("ta.g") == F.col("tb.g")))
+                   & (F.col("ta.gh") == F.col("tb.gh")))
              .groupBy("id_a", "id_b").agg(F.count("*").alias("n_common")))
     return (inter
             .join(sizes.alias("sa"), F.col("sa.doc_id") == F.col("id_a"))
@@ -426,7 +444,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 
 DEDUP_NGRAM_SQL = """
-WITH tri_raw AS (
+WITH tri_txt AS (
   SELECT doc_id, source,
          unnest(list_distinct(list_transform(
            generate_series(1, len(toks) - 2),
@@ -434,24 +452,29 @@ WITH tri_raw AS (
   FROM (SELECT doc_id, source, string_split(text, ' ') AS toks
         FROM documents WHERE len(string_split(text, ' ')) >= 3)
 ),
+tri_raw AS (
+  SELECT doc_id, source,
+         CAST('0x' || substring(md5(g), 1, 15) AS BIGINT) AS gh
+  FROM tri_txt
+),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM tri_raw GROUP BY doc_id),
 rare AS (
-  SELECT source, g FROM tri_raw GROUP BY source, g
+  SELECT source, gh FROM tri_raw GROUP BY source, gh
   HAVING COUNT(*) <= {cap}
 ),
 rare_tri AS (
-  SELECT tri_raw.* FROM tri_raw JOIN rare USING (source, g)
+  SELECT tri_raw.* FROM tri_raw JOIN rare USING (source, gh)
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM rare_tri a JOIN rare_tri b
-    ON a.source = b.source AND a.g = b.g AND a.doc_id < b.doc_id
+    ON a.source = b.source AND a.gh = b.gh AND a.doc_id < b.doc_id
 ),
 inter AS (
   SELECT id_a, id_b, COUNT(*) AS n_common
   FROM cand
   JOIN tri_raw ta ON ta.doc_id = id_a
-  JOIN tri_raw tb ON tb.doc_id = id_b AND ta.g = tb.g
+  JOIN tri_raw tb ON tb.doc_id = id_b AND ta.gh = tb.gh
   GROUP BY id_a, id_b
 )
 SELECT id_a, id_b, n_common,
