@@ -171,7 +171,7 @@ def dedup_minhash_clusters(spark, sf_dir):
         (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"))
 
 
-def dedup_minhash_cc(spark, sf_dir, max_iters: int = 20):
+def dedup_minhash_cc(spark, sf_dir, max_iters: int = 50):
     """TRUE connected components over the doc—bucket LSH graph: iterative
     min-label propagation (doc -> its buckets -> back) to fixpoint. One-hop
     min-id clustering (dedup_minhash_clusters) under-merges chains
@@ -180,8 +180,14 @@ def dedup_minhash_cc(spark, sf_dir, max_iters: int = 20):
 
     100 TB shape: each round is two hash aggregates + one join on the
     bounded (band, key) space — the alternating-propagation form of the
-    large-star/small-star CC algorithm; lineage is truncated per round
-    (localCheckpoint) so plans don't grow with iterations.
+    large-star/small-star CC algorithm. Per round there is exactly ONE
+    Spark action: an eager RELIABLE checkpoint (storage-backed, so a lost
+    executor replays nothing — point spark.checkpoint.dir at HDFS/S3 on a
+    real cluster) that both truncates lineage and, via observe(), carries
+    the changed-label count out of the same job, so convergence detection
+    costs no extra pass. The loop runs to fixpoint and RAISES if the hard
+    round cap is hit (a silent early exit would emit non-transitive labels
+    that the small-SF gate cannot catch).
 
     NOTE on the oracle: the DuckDB WITH RECURSIVE transitive closure is
     exact but O(sum over components of |C|^2) — it verifies in seconds at
@@ -193,20 +199,41 @@ def dedup_minhash_cc(spark, sf_dir, max_iters: int = 20):
     return _cc_from_buckets(docs, buckets, max_iters)
 
 
-def _cc_from_buckets(docs, buckets, max_iters: int = 20):
-    buckets = buckets.localCheckpoint()
-    lab = docs.select("doc_id", F.col("doc_id").alias("lbl"))
-    for _ in range(max_iters):
+def _ensure_checkpoint_dir(df):
+    sc = df.sparkSession.sparkContext
+    if sc._jsc.sc().getCheckpointDir().isEmpty():
+        # local default; on a cluster set spark.checkpoint.dir to HDFS/S3
+        sc.setCheckpointDir("/tmp/pdf4py_spark_ckpt")
+
+
+def _cc_from_buckets(docs, buckets, max_iters: int = 50):
+    from pyspark.sql import Observation
+
+    _ensure_checkpoint_dir(buckets)
+    buckets = buckets.checkpoint()  # reused every round: reliable, not
+    lab = docs.select("doc_id", F.col("doc_id").alias("lbl"))  # executor-local
+    for it in range(max_iters):
         bucket_min = (buckets.join(lab, "doc_id")
                       .groupBy("band", "key").agg(F.min("lbl").alias("bm")))
+        obs = Observation("cc_round_%d" % it)
         new_lab = (buckets.join(bucket_min, ["band", "key"])
-                   .groupBy("doc_id").agg(F.min("bm").alias("lbl"))
-                   .localCheckpoint())
-        changed = (lab.alias("o").join(new_lab.alias("n"), "doc_id")
-                   .where(F.col("o.lbl") != F.col("n.lbl")).count())
+                   .groupBy("doc_id").agg(F.min("bm").alias("bm"))
+                   .join(lab, "doc_id")
+                   .select("doc_id", F.least("bm", "lbl").alias("lbl"),
+                           (F.least("bm", "lbl") != F.col("lbl"))
+                           .alias("chg"))
+                   .observe(obs, F.sum(F.col("chg").cast("long"))
+                            .alias("n_changed"))
+                   .select("doc_id", "lbl")
+                   .checkpoint(eager=True))  # the round's ONE action
         lab = new_lab
-        if changed == 0:
+        if obs.get["n_changed"] == 0:
             break
+    else:
+        raise RuntimeError(
+            "dedup_minhash_cc: no fixpoint after %d rounds — component "
+            "diameter exceeds the cap; labels would be non-transitive"
+            % max_iters)
     return lab.select("doc_id", F.col("lbl").alias("cluster_id"),
                       (F.col("doc_id") == F.col("lbl"))
                       .alias("is_canonical"))

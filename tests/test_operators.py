@@ -142,3 +142,27 @@ def test_minhash_cc_merges_transitive_chains(spark):
            for r in _cc_from_buckets(docs, buckets).collect()}
     assert got == {1: (1, True), 2: (1, False), 3: (1, False),
                    9: (9, True)}
+
+
+def test_minhash_cc_raises_on_round_cap_instead_of_silent_exit(spark):
+    """ADVICE r2: exiting the propagation loop at max_iters without a
+    fixpoint yields non-transitive labels the small-SF gate can't catch —
+    the loop must raise. A 5-doc chain needs >1 alternating round, so
+    max_iters=1 must fail loudly; default cap must converge. Also pins the
+    checkpoint contract: per-round state is storage-backed (reliable
+    checkpoint under the session checkpoint dir), not executor-local."""
+    import pytest
+    from pdf4py_spark.operators.dedup import _cc_from_buckets
+    docs = spark.createDataFrame([(i,) for i in range(1, 6)],
+                                 "doc_id bigint")
+    chain = spark.createDataFrame(
+        [(i, 0, "k%d" % i) for i in range(1, 5)]
+        + [(i + 1, 0, "k%d" % i) for i in range(1, 5)],
+        "doc_id bigint, band int, key string")
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        _cc_from_buckets(docs, chain, max_iters=1).collect()
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in _cc_from_buckets(docs, chain).collect()}
+    assert got == {i: 1 for i in range(1, 6)}
+    sc = spark.sparkContext
+    assert not sc._jsc.sc().getCheckpointDir().isEmpty()
