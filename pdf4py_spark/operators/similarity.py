@@ -160,8 +160,22 @@ def embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs: candidates must share a
     (label, band, bucket) sign-LSH block — label alone is unbounded in a
     real corpus (one hot label => quadratic pairs); the sign-bucket second
-    key bounds every block at label_count / 2^ND_PLANES per band."""
-    return _neardup_pairs(table(spark, sf_dir, "embeddings"))
+    key bounds every block at label_count / 2^ND_PLANES per band.
+
+    The synthetic corpus has no natural cosine>=0.8 pairs (max within-label
+    cosine ~0.47), which made the r2 gate vacuously green on 0=0 rows
+    (ADVICE r2). Like dedup_exact's injected duplicates, every 50th vector
+    is re-emitted under vec_id+1000000 perturbed by +0.1 element-wise —
+    pure float arithmetic, bit-identical across engines — planting pairs
+    whose cosines straddle the threshold (~0.67..0.86), so the gate now
+    exercises blocking, verification, AND the threshold filter."""
+    emb = (table(spark, sf_dir, "embeddings")
+           .select("vec_id", "label", "embedding"))
+    planted = emb.where("vec_id % 50 = 0").selectExpr(
+        "vec_id + 1000000 AS vec_id", "label",
+        "cast(transform(cast(embedding as array<double>), x -> x + 0.1)"
+        " as array<float>) AS embedding")
+    return _neardup_pairs(emb.unionAll(planted))
 
 
 def _neardup_pairs(emb):
@@ -190,13 +204,21 @@ def _neardup_pairs(emb):
 def _nd_bands_duck():
     return "\n    UNION ALL\n    ".join(
         "SELECT vec_id, label, embedding, %d AS band, %s AS bucket"
-        " FROM embeddings"
+        " FROM emb_aug"
         % (t, _bucket_expr_duck(_ND_BAND_OFFSET + t, ND_PLANES))
         for t in range(ND_BANDS))
 
 
 EMBEDDING_NEARDUP_SQL = """
-WITH keyed AS (
+WITH emb_aug AS (
+  SELECT vec_id, label, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, label,
+         list_transform(embedding::DOUBLE[], x -> x + 0.1)::FLOAT[]
+           AS embedding
+  FROM embeddings WHERE vec_id % 50 = 0
+),
+keyed AS (
     {bands}
 ),
 cand AS (
@@ -211,8 +233,8 @@ SELECT id_a, id_b,
               sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
              4) AS cosine
 FROM cand
-JOIN embeddings a ON a.vec_id = id_a
-JOIN embeddings b ON b.vec_id = id_b
+JOIN emb_aug a ON a.vec_id = id_a
+JOIN emb_aug b ON b.vec_id = id_b
 WHERE ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
             (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
              sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
