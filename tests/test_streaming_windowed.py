@@ -48,3 +48,38 @@ def test_windowed_counts_match_batch_for_closed_windows(spark, tmp_path):
     run_windowed_stream(spark, src, out)
     after = spark.read.parquet(os.path.join(out, "counts")).count()
     assert after == before
+
+
+def test_append_gate_boundary_semantics(spark, tmp_path):
+    """Pins the closed-window boundary the gated events_hourly_stream
+    oracle relies on: with watermark delay D, a window is emitted iff
+    window_end <= max(ts) - D, INCLUSIVE at equality. Data: events at
+    00:30..04:30 plus one at exactly 05:00 -> watermark 03:00 -> windows
+    h0,h1,h2 emit (h2 ends exactly AT the watermark), h3+ do not."""
+    import datetime
+
+    from pdf4py_spark.streaming.windowed import EVENTS_SCHEMA
+
+    import glob
+    import shutil
+
+    src = str(tmp_path / "ev_in")
+    staged = str(tmp_path / "staged")
+    rows = [(h, datetime.datetime(2026, 1, 1, h, 30), 1, "c", 1.0, "")
+            for h in range(5)]
+    rows.append((99, datetime.datetime(2026, 1, 1, 5, 0), 1, "c", 1.0, ""))
+    spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1) \
+        .write.mode("overwrite").parquet(staged)
+    # the gated query scans <sf_dir>/events.parquet (a single FILE, like
+    # the driver testdata layout)
+    os.makedirs(src)
+    shutil.copy(glob.glob(staged + "/part-*.parquet")[0],
+                src + "/events.parquet")
+
+    from pdf4py_spark.operators.streaming_queries import events_hourly_stream
+    got = sorted(r["hour_start_us"] for r in
+                 events_hourly_stream(spark, src).collect())
+    epoch = datetime.datetime(1970, 1, 1)
+    us = [int((datetime.datetime(2026, 1, 1, h) - epoch).total_seconds()
+              * 1_000_000) for h in range(3)]
+    assert got == us
