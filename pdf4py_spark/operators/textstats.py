@@ -177,18 +177,24 @@ def bm25_search(spark, sf_dir, terms=BM25_TERMS):
     """Okapi BM25 over the documents table (Lucene-style idf =
     ln(1 + (N - df + 0.5)/(df + 0.5))), top-k by score.
 
-    100 TB shape: one token explode filtered to the |terms| query words
-    BEFORE the aggregate (predicate on the exploded value keeps the
-    shuffle at O(matching postings), not O(corpus tokens)); doc lengths
-    and N/avgdl are tiny aggregates broadcast back. Scores rounded to 4
-    decimals so last-ulp libm drift can't flip the cross-engine hash."""
+    100 TB shape: documents that contain NO query term are eliminated by
+    an arrays_overlap pre-filter BEFORE the explode (r2 verdict) — a
+    codegen'd per-row array probe, so non-matching docs never generate
+    token rows at all; the explode is then additionally filtered to the
+    |terms| query words, keeping the shuffle at O(matching postings),
+    not O(corpus tokens). Doc lengths and N/avgdl are tiny aggregates
+    broadcast back (avgdl over the FULL corpus, computed before the
+    pre-filter). Scores rounded to 4 decimals so last-ulp libm drift
+    can't flip the cross-engine hash."""
     docs = table(spark, sf_dir, "documents")
     with_len = docs.select(
         "doc_id", F.size(F.split("text", " ")).cast("double").alias("dl"),
         F.split("text", " ").alias("toks"))
     stats = with_len.agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    terms_arr = F.array(*[F.lit(t) for t in terms])
     tf = (with_len
+          .where(F.arrays_overlap("toks", terms_arr))
           .select("doc_id", "dl", F.explode("toks").alias("w"))
           .where(F.col("w").isin(*terms))
           .groupBy("doc_id", "dl", "w")
