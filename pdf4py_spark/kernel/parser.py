@@ -38,8 +38,12 @@ class ObjectScanner:
 
     #: max container nesting before a quarantinable StructureError: deep
     #: enough for any real PDF, shallow enough that adversarial nesting can
-    #: never approach the CPython C-stack (no global recursionlimit mutation)
-    MAX_NESTING = 400
+    #: never approach the CPython C-stack (no global recursionlimit
+    #: mutation). Each level costs 2 Python frames (parse + _parse_inner),
+    #: so 200 levels ~ 400 frames — comfortable under the default 1000
+    #: even inside a pyspark worker with harness frames below (ADVICE r2:
+    #: 400 levels ~ 800 frames was margin-tight)
+    MAX_NESTING = 200
 
     def __init__(self, payload, stream_resolver=None, content_mode=True):
         self.tok = Tokenizer(payload)
@@ -173,6 +177,40 @@ class ObjectScanner:
             return cur
 
         raise StructureError("unexpected token %r" % (cur,))
+
+
+#: page-tree depth bound: real trees are balanced wide-fanout (depth ~
+#: log_k(pages)); 256 admits any legal document while making cyclic or
+#: adversarially-deep trees a clean quarantinable StructureError instead
+#: of an unbounded-recursion RecursionError (ADVICE r2)
+MAX_PAGE_TREE_DEPTH = 256
+
+
+def walk_page_tree(resolve, root, visit, extra=None, inherit=None):
+    """Iterative pre-order page-tree walk (document order), shared by
+    object census and both text-extraction modes.
+
+    Explicit stack — no Python recursion, so hostile depth can't touch
+    the C stack; the depth cap also terminates reference cycles (a DAG
+    re-visit of a shared node is still walked twice, matching the
+    reference's recursive semantics for legal-but-weird documents).
+    ``inherit(node, extra)`` computes the value threaded to children
+    (e.g. inheritable /Resources); ``visit(leaf, extra)`` is called per
+    page leaf."""
+    stack = [(root, 0, extra)]
+    while stack:
+        node_ref, depth, ex = stack.pop()
+        node = resolve(node_ref) if isinstance(node_ref, Ref) else node_ref
+        if isinstance(node, dict) and node.get("Type") == "Pages":
+            if depth >= MAX_PAGE_TREE_DEPTH:
+                raise StructureError(
+                    "page tree deeper than %d (cyclic or adversarial)"
+                    % MAX_PAGE_TREE_DEPTH)
+            child_ex = inherit(node, ex) if inherit is not None else ex
+            for kid in reversed(node["Kids"]):
+                stack.append((kid, depth + 1, child_ex))
+        else:
+            visit(node, inherit(node, ex) if inherit is not None else ex)
 
 
 class XrefChain:
@@ -460,14 +498,6 @@ class DocumentParser:
         (parity: _document.py:26-46)."""
         catalog = self.resolve(self.trailer["Root"])
         pages = []
-
-        def walk(node_ref):
-            node = self.resolve(node_ref) if isinstance(node_ref, Ref) else node_ref
-            if isinstance(node, dict) and node.get("Type") == "Pages":
-                for kid in node["Kids"]:
-                    walk(kid)
-            else:
-                pages.append(node)
-
-        walk(catalog["Pages"])
+        walk_page_tree(self.resolve, catalog["Pages"],
+                       lambda node, _extra: pages.append(node))
         return pages

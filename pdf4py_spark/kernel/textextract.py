@@ -168,22 +168,21 @@ def extract_pdf_text(doc: DocumentParser, pages=None) -> bytes:
 
 def pages_with_resources(doc: DocumentParser):
     """(page_dict, resources) in document order; Resources is inheritable
-    down the page tree (PDF 1.7 §7.7.3.4)."""
+    down the page tree (PDF 1.7 §7.7.3.4). Iterative + depth-bounded via
+    the shared walk (hostile trees quarantine instead of RecursionError)."""
+    from .parser import walk_page_tree
+
     catalog = doc.resolve(doc.trailer["Root"])
     out = []
 
-    def walk(node_ref, inherited):
-        node = doc.resolve(node_ref) if isinstance(node_ref, Ref) else node_ref
-        res = inherited
+    def inherit(node, inherited):
         if isinstance(node, dict) and node.get("Resources") is not None:
-            res = node.get("Resources")
-        if isinstance(node, dict) and node.get("Type") == "Pages":
-            for kid in node["Kids"]:
-                walk(kid, res)
-        else:
-            out.append((node, res))
+            return node.get("Resources")
+        return inherited
 
-    walk(catalog["Pages"], None)
+    walk_page_tree(doc.resolve, catalog["Pages"],
+                   lambda node, res: out.append((node, res)),
+                   extra=None, inherit=inherit)
     return out
 
 

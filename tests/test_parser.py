@@ -159,3 +159,58 @@ def test_quarantine_error_carries_context_window():
     assert "position" in r.error and "context[" in r.error
     # the window must contain bytes from the payload near the failure
     assert "a1b2" in r.error or "AAAA" in r.error
+
+
+def _pdf_with_objects(objs: list[bytes]) -> bytes:
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 %d\n" % (len(objs) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += b"%010d 00000 n \n" % off
+    out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF"
+            % (len(objs) + 1, xref_at))
+    return bytes(out)
+
+
+def test_cyclic_page_tree_quarantines_not_recursionerror():
+    """ADVICE r2: the page-tree walk was unbounded recursion — a cyclic
+    Kids edge (2 0 R -> 3 0 R -> 2 0 R) must quarantine as a depth
+    StructureError, never RecursionError, in BOTH text modes."""
+    from pdf4py_spark.kernel.extract import extract_document
+    pdf = _pdf_with_objects([
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Pages /Kids [2 0 R] /Count 1 /Parent 2 0 R >>",
+    ])
+    for mode in ("raw", "unicode"):
+        r = extract_document(pdf, text_mode=mode)
+        assert r.status != "ok"
+        assert "page tree" in (r.error or ""), (mode, r.error)
+
+
+def test_deep_but_legal_page_tree_walks_iteratively():
+    """A 300-level chain of single-kid Pages nodes exceeds the old
+    recursive walk's comfort zone; the iterative walk handles any depth
+    up to the cap. 300 > 256 -> quarantine; 100 -> extracts fine."""
+    from pdf4py_spark.kernel.extract import extract_document
+
+    def chain(depth: int) -> bytes:
+        objs = [b"<< /Type /Catalog /Pages 2 0 R >>"]
+        for i in range(depth):
+            objs.append(b"<< /Type /Pages /Kids [%d 0 R] /Count 1 >>"
+                        % (i + 3))
+        content = b"BT (x) Tj ET"
+        objs.append(b"<< /Type /Page /Contents %d 0 R >>" % (depth + 3))
+        objs.append(b"<< /Length %d >>\nstream\n" % len(content)
+                    + content + b"\nendstream")
+        return _pdf_with_objects(objs)
+
+    ok = extract_document(chain(100))
+    assert ok.status == "ok" and ok.extracted == b"x"
+    deep = extract_document(chain(300))
+    assert deep.status != "ok" and "page tree" in (deep.error or "")
