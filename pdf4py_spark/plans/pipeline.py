@@ -21,10 +21,8 @@ Design notes for 100 TB:
 
 from __future__ import annotations
 
-import hashlib
 import json
 import os
-import shutil
 import time
 
 import pandas as pd
@@ -175,19 +173,10 @@ def lineage_view(result: DataFrame, attempt: int = 0,
 # ---------------------------------------------------------------------------
 
 def _snapshot_id(spark: SparkSession, source_path: str) -> int:
-    """Stable fingerprint of the input (file listing + sizes) — the parquet
-    stand-in for an Iceberg snapshot id."""
-    try:
-        names = sorted(
-            (f, os.path.getsize(os.path.join(source_path, f)))
-            for f in os.listdir(source_path))
-    except OSError:
-        names = [(source_path, 0)]
-    # stable digest, NOT builtin hash(): str hashing is randomized per
-    # process (PYTHONHASHSEED), and resume-from-a-new-driver is exactly the
-    # case the manifest exists for
-    digest = hashlib.sha256(repr(names).encode()).digest()
-    return int.from_bytes(digest[:8], "big") & 0x7FFFFFFFFFFFFFFF
+    """Stable input snapshot identity; delegated to the storage seam
+    (parquet: listing fingerprint; Iceberg: current snapshot_id)."""
+    from ..sources.storage import snapshot_id
+    return snapshot_id(spark, source_path)
 
 
 def _manifest_dir(output_path: str) -> str:
@@ -232,8 +221,12 @@ def run_resumable(spark: SparkSession, source_path: str, output_path: str,
 
     Returns {"processed": [...], "skipped": [...], "snapshot_id": int}.
     """
-    pages = spark.read.parquet(source_path)
-    snapshot_id = _snapshot_id(spark, source_path)
+    from ..sources import storage
+
+    snapshot_id = storage.snapshot_id(spark, source_path)
+    # snapshot-pinned scan: on Iceberg this time-travels; on the parquet
+    # stand-in it revalidates the fingerprint (fails loudly on mutation)
+    pages = storage.read_pages(spark, source_path, snapshot=snapshot_id)
     done = completed_shards(output_path)
     stale = [s for s, rec in done.items()
              if rec["input_snapshot_id"] != snapshot_id]
@@ -259,32 +252,27 @@ def run_resumable(spark: SparkSession, source_path: str, output_path: str,
         # (the companion tables follow the same rule).
         attempt = 0
         for tbl in ("extracted", "metrics", "lineage"):
-            shard_dir = os.path.join(output_path, tbl, "_shard=%d" % shard)
-            if os.path.isdir(shard_dir):
-                shutil.rmtree(shard_dir)
+            if storage.replace_partition(
+                    spark, os.path.join(output_path, tbl), "_shard", shard):
                 attempt = 1
-                # drop the session's cached file listing for the table we
-                # just mutated, or later reads resolve deleted part files
-                spark.catalog.refreshByPath(os.path.join(output_path, tbl))
-        (out.write.mode("append")
-            .partitionBy("_shard")
-            .parquet(os.path.join(output_path, "extracted")))
+        storage.append_partitioned(
+            out, os.path.join(output_path, "extracted"), "_shard")
         # companion metrics + lineage tables (north rule: per-partition
         # lineage rows and extraction metrics alongside the output) are
         # DERIVED from the just-written parquet — one cheap columnar
         # read-back, never a kernel re-run
-        shard_df = spark.read.parquet(
-            os.path.join(output_path, "extracted")).where(
+        shard_df = storage.read_pages(
+            spark, os.path.join(output_path, "extracted")).where(
             F.col("_shard") == shard)
         n_rows = shard_df.count()
-        (metrics_view(shard_df).withColumn("_shard", F.lit(shard))
-            .write.mode("append").partitionBy("_shard")
-            .parquet(os.path.join(output_path, "metrics")))
-        (lineage_view(shard_df, attempt=attempt,
-                      input_snapshot_id=snapshot_id)
-            .withColumn("_shard", F.lit(shard))
-            .write.mode("append").partitionBy("_shard")
-            .parquet(os.path.join(output_path, "lineage")))
+        storage.append_partitioned(
+            metrics_view(shard_df).withColumn("_shard", F.lit(shard)),
+            os.path.join(output_path, "metrics"), "_shard")
+        storage.append_partitioned(
+            lineage_view(shard_df, attempt=attempt,
+                         input_snapshot_id=snapshot_id)
+            .withColumn("_shard", F.lit(shard)),
+            os.path.join(output_path, "lineage"), "_shard")
         _commit_shard(output_path, shard, snapshot_id, n_rows)
         processed.append(shard)
     return {"processed": processed, "skipped": skipped,
