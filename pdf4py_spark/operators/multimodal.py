@@ -1,17 +1,28 @@
 """Multimodal column handling: opaque ``binary`` payloads + typed metadata,
 with decode / frame-sample as Arrow-batched kernels.
 
-The image/audio codec libraries are not in this container, so the decode
-step is STUBBED: ``decode_media`` raises NotImplementedError for real
-codecs and a deterministic fake decoder stands in for tests/benchmarks.
-The Spark-side plumbing — schema, partitioning, Arrow batch shape, UDF
-signature — is real and tested; swapping the stub for PIL/ffmpeg is a
-one-function change.
+The decode seam now has ONE real codec (r2 verdict): ``audio/wav`` is
+decoded with the stdlib ``wave`` reader (RIFF header parse + PCM frame
+read), exercised end-to-end by the gated ``media_wav_decode`` query with
+an exact SQL oracle. Image/video codec libraries are not in this
+container, so those branches still raise NotImplementedError and a
+deterministic fake sampler stands in for frame extraction; the
+Spark-side plumbing — schema, partitioning, Arrow batch shape, UDF
+signature — is identical for real and fake paths, so swapping in
+PIL/pyav is a one-function change.
+
+Digest discipline: kernels emit raw BYTES; md5 digests are computed
+JVM-side with ``F.md5(lower(hex(...)))`` (r2 verdict — no per-row Python
+hashing in the hot path). The digest is over the LOWERCASE HEX of the
+bytes, not the raw bytes, because this duckdb build has no md5(BLOB) —
+hex keeps the oracle exactly SQL-expressible.
 """
 
 from __future__ import annotations
 
-import hashlib
+import io
+import struct
+import wave
 
 import pandas as pd
 
@@ -22,16 +33,56 @@ from . import QuerySpec, table
 MEDIA_TYPES = ("image/png", "audio/wav", "video/mp4", "text/plain")
 
 FRAME_SCHEMA = ("doc_id bigint, media_type string, frame_idx int, "
-                "frame_bytes int, frame_md5 string")
+                "frame binary")
+
+WAV_SCHEMA = ("doc_id bigint, n_channels int, sample_width int, "
+              "sample_rate int, n_frames bigint, pcm binary")
+
+#: canonical parameters for the synthesized test WAVs
+WAV_RATE = 8000
+WAV_CHANNELS = 1
+WAV_SAMPWIDTH = 2
 
 
 def decode_media(payload: bytes, media_type: str):
-    """Real-codec seam. In production this dispatches to PIL / soundfile /
-    pyav; in this container only the deterministic fake path exists."""
+    """Real-codec seam.
+
+    audio/wav: REAL decode via the stdlib ``wave`` reader — parses the
+    RIFF/fmt chunks and returns the stream parameters + raw PCM bytes;
+    malformed containers raise (wave.Error/EOFError), which the caller
+    maps to its quarantine/totality contract.
+    text/plain: identity.
+    image/video: NotImplementedError until PIL/pyav are available."""
+    if media_type == "audio/wav":
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            n = w.getnframes()
+            return {"n_channels": w.getnchannels(),
+                    "sample_width": w.getsampwidth(),
+                    "sample_rate": w.getframerate(),
+                    "n_frames": n,
+                    "pcm": w.readframes(n)}
     if media_type == "text/plain":
         return payload
     raise NotImplementedError(
         "codec for %s not available in this environment" % media_type)
+
+
+def wav_container(pcm: bytes, sample_rate: int = WAV_RATE,
+                  n_channels: int = WAV_CHANNELS,
+                  sampwidth: int = WAV_SAMPWIDTH) -> bytes:
+    """Wrap raw PCM in a canonical RIFF/WAVE container (stdlib writer).
+    Odd-length PCM is zero-padded to the frame size — mirrored in the
+    oracle SQL as hx || '00'."""
+    frame = n_channels * sampwidth
+    if len(pcm) % frame:
+        pcm = pcm + b"\x00" * (frame - len(pcm) % frame)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_channels)
+        w.setsampwidth(sampwidth)
+        w.setframerate(sample_rate)
+        w.writeframes(pcm)
+    return buf.getvalue()
 
 
 def fake_frames(payload: bytes, media_type: str, n_frames: int = 4):
@@ -59,22 +110,32 @@ def media_table(spark, sf_dir):
 
 def _frame_sample_batches(batches):
     for pdf in batches:
-        out = {k: [] for k in
-               ("doc_id", "media_type", "frame_idx", "frame_bytes",
-                "frame_md5")}
+        out = {k: [] for k in ("doc_id", "media_type", "frame_idx", "frame")}
         for doc_id, payload, mtype in zip(
                 pdf["doc_id"], pdf["payload"], pdf["media_type"]):
             for idx, frame in enumerate(fake_frames(payload, mtype)):
                 out["doc_id"].append(doc_id)
                 out["media_type"].append(mtype)
                 out["frame_idx"].append(idx)
-                out["frame_bytes"].append(len(frame))
-                # digest of the LOWERCASE HEX of the frame bytes (not the
-                # raw bytes): this duckdb build has no md5(BLOB), and hex
-                # makes the fake sampler exactly SQL-expressible, so the
-                # driver gets a full value-hash gate instead of rows-only
-                out["frame_md5"].append(
-                    hashlib.md5(frame.hex().encode()).hexdigest())
+                out["frame"].append(frame)
+        yield pd.DataFrame(out)
+
+
+def _wav_decode_batches(batches):
+    """Arrow kernel for the REAL wav path: container synthesis around the
+    payload-as-PCM, then a genuine stdlib wave decode of those bytes."""
+    for pdf in batches:
+        out = {k: [] for k in ("doc_id", "n_channels", "sample_width",
+                               "sample_rate", "n_frames", "pcm")}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            container = wav_container(bytes(payload))
+            dec = decode_media(container, "audio/wav")
+            out["doc_id"].append(doc_id)
+            out["n_channels"].append(dec["n_channels"])
+            out["sample_width"].append(dec["sample_width"])
+            out["sample_rate"].append(dec["sample_rate"])
+            out["n_frames"].append(dec["n_frames"])
+            out["pcm"].append(dec["pcm"])
         yield pd.DataFrame(out)
 
 
@@ -99,10 +160,15 @@ FROM documents
 
 def media_frame_sample(spark, sf_dir):
     """Arrow-batched frame sampling over the media table (the mapInPandas
-    plumbing for real decoders). The deterministic byte-slice fake is
-    SQL-expressible, so it carries an exact DuckDB oracle."""
+    plumbing for real decoders). The kernel emits raw frame BYTES; size
+    and digest are computed JVM-side (octet_length / md5 over lowercase
+    hex), so the Python loop does no hashing."""
     media = media_table(spark, sf_dir).repartition(8, "doc_id")
-    return media.mapInPandas(_frame_sample_batches, schema=FRAME_SCHEMA)
+    frames = media.mapInPandas(_frame_sample_batches, schema=FRAME_SCHEMA)
+    return frames.select(
+        "doc_id", "media_type", "frame_idx",
+        F.octet_length("frame").cast("int").alias("frame_bytes"),
+        F.md5(F.lower(F.hex("frame"))).alias("frame_md5"))
 
 
 MEDIA_FRAME_SQL = """
@@ -126,7 +192,35 @@ FROM frames WHERE length(fh) > 0
 """
 
 
+def media_wav_decode(spark, sf_dir):
+    """REAL codec, gated: wrap each audio/wav payload in a RIFF container
+    and decode it back with the stdlib wave reader inside the Arrow
+    kernel; the decoded stream parameters and PCM bytes are emitted and
+    digested JVM-side. The oracle predicts every decoded value from the
+    source text alone — if the wave parse mis-read the header or dropped
+    a byte of PCM, the hash gate fails."""
+    media = (media_table(spark, sf_dir)
+             .where("media_type = 'audio/wav'")
+             .repartition(8, "doc_id"))
+    decoded = media.mapInPandas(_wav_decode_batches, schema=WAV_SCHEMA)
+    return decoded.select(
+        "doc_id", "n_channels", "sample_width", "sample_rate", "n_frames",
+        F.md5(F.lower(F.hex("pcm"))).alias("pcm_md5"))
+
+
+MEDIA_WAV_SQL = """
+SELECT doc_id,
+       1 AS n_channels, 2 AS sample_width, 8000 AS sample_rate,
+       CAST((octet_length(encode(text)) + 1) // 2 AS BIGINT) AS n_frames,
+       md5(CASE WHEN octet_length(encode(text)) % 2 = 1
+                THEN lower(hex(encode(text))) || '00'
+                ELSE lower(hex(encode(text))) END) AS pcm_md5
+FROM documents WHERE doc_id % 4 = 1
+"""
+
+
 QUERIES = {
     "media_metadata": QuerySpec(media_metadata, MEDIA_METADATA_SQL),
     "media_frame_sample": QuerySpec(media_frame_sample, MEDIA_FRAME_SQL),
+    "media_wav_decode": QuerySpec(media_wav_decode, MEDIA_WAV_SQL),
 }

@@ -166,3 +166,36 @@ def test_minhash_cc_raises_on_round_cap_instead_of_silent_exit(spark):
     assert got == {i: 1 for i in range(1, 6)}
     sc = spark.sparkContext
     assert not sc._jsc.sc().getCheckpointDir().isEmpty()
+
+
+def test_decode_media_real_wav_roundtrip():
+    """The audio/wav branch is a REAL stdlib wave decode: header fields
+    and PCM bytes round-trip through the RIFF container; malformed
+    containers raise (-> quarantine), they never return garbage."""
+    import pytest
+    import wave as wave_mod
+
+    from pdf4py_spark.operators.multimodal import decode_media, wav_container
+
+    pcm = bytes(range(251)) * 3  # odd length: exercises frame padding
+    dec = decode_media(wav_container(pcm), "audio/wav")
+    assert (dec["n_channels"], dec["sample_width"], dec["sample_rate"]) \
+        == (1, 2, 8000)
+    assert dec["n_frames"] == (len(pcm) + 1) // 2
+    assert dec["pcm"] == pcm + b"\x00"
+
+    with pytest.raises((wave_mod.Error, EOFError)):
+        decode_media(b"RIFFgarbage-not-a-wav", "audio/wav")
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\x89PNG...", "image/png")
+
+
+def test_media_frame_digest_is_jvm_side(spark, queries):
+    """r2 verdict: frame digests must be F.md5 over kernel-emitted bytes,
+    not hashlib in the Python loop — pinned by the digest expression
+    appearing in the JVM plan above the Arrow kernel."""
+    plan = (queries["media_frame_sample"].fn(spark, SF)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "md5(" in plan and "MapInPandas" in plan
+    assert plan.index("md5(") < plan.index("MapInPandas"), \
+        "digest must sit above (after) the kernel, JVM-side"
