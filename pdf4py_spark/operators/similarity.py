@@ -72,31 +72,95 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 3
 """
 
 
+#: IVF coarse-quantizer parameters: K deterministic seed centroids
+#: (Forgy init: the K lowest-vec_id vectors), assignment by max rounded
+#: cosine with centroid-id tie-break; queries probe the NPROBE nearest
+#: centroid cells (classic multi-probe IVF recall lever)
+N_CENTROIDS = 8
+NPROBE = 2
+
+
+def _ivf_assign(emb, centroids, n_probe: int):
+    """(vec_id, cid) for each vector's n_probe nearest centroids — a
+    COMPUTED quantizer assignment (r2 verdict: the stored label column
+    was a stand-in). K is tiny, so the n x K scoring join is broadcast;
+    the rounded cosine + cid tie-break keeps both engines bit-aligned."""
+    scored = (emb.selectExpr("vec_id", "embedding AS qe")
+              .join(F.broadcast(centroids), F.lit(True))
+              .selectExpr("vec_id", "cid", _COS.replace("ne", "ce")
+                          + " AS ccos"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cid"))
+    return (scored.withColumn("crank", F.row_number().over(w))
+            .where(F.col("crank") <= n_probe)
+            .select("vec_id", "cid"))
+
+
 def ann_bucketed_topk(spark, sf_dir):
-    emb = table(spark, sf_dir, "embeddings")
-    queries = emb.where("vec_id % 50 = 0").selectExpr(
-        "vec_id AS query_id", "label AS qlabel", "embedding AS qe")
-    corpus = emb.selectExpr(
-        "vec_id AS neighbor_id", "label AS nlabel", "embedding AS ne")
-    pairs = (queries.join(corpus, F.col("qlabel") == F.col("nlabel"))
-             .where("query_id <> neighbor_id")
+    """IVF-style ANN: corpus vectors live in their nearest centroid's
+    cell; each query probes its NPROBE nearest cells and exact cosine
+    reranks inside them. Turns the n*m cross join into
+    sum-over-probed-cells(n_cell * m) — the scale path when sign-LSH's
+    bucket granularity is too coarse. Recall vs brute force is measured
+    in BENCH/ANN_RECALL.md."""
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    centroids = (emb.where(F.col("vec_id") < N_CENTROIDS)
+                 .selectExpr("vec_id AS cid", "embedding AS ce"))
+    corpus_cells = _ivf_assign(emb, centroids, 1)
+    query_cells = (_ivf_assign(emb.where("vec_id % 50 = 0"),
+                               centroids, NPROBE)
+                   .withColumnRenamed("vec_id", "query_id"))
+    qv = emb.selectExpr("vec_id AS query_id", "embedding AS qe")
+    nv = emb.selectExpr("vec_id AS neighbor_id", "embedding AS ne")
+    cand = (query_cells.join(corpus_cells, "cid")
+            .select("query_id", F.col("vec_id").alias("neighbor_id"))
+            .where("query_id <> neighbor_id")
+            .distinct())
+    pairs = (cand.join(qv, "query_id").join(nv, "neighbor_id")
              .selectExpr("query_id", "neighbor_id", _COS + " AS cosine"))
     return _ranked(pairs)
 
 
+_IVF_ASSIGN_SQL = """
+  centroids AS (
+    SELECT vec_id AS cid, embedding AS ce FROM embeddings
+    WHERE vec_id < {k}
+  ),
+  scored AS (
+    SELECT e.vec_id, c.cid,
+           ROUND(list_dot_product(e.embedding::DOUBLE[], c.ce::DOUBLE[]) /
+                 (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                        e.embedding::DOUBLE[])) *
+                  sqrt(list_dot_product(c.ce::DOUBLE[], c.ce::DOUBLE[]))),
+                 4) AS ccos
+    FROM embeddings e CROSS JOIN centroids c
+  ),
+  assigned AS (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY ccos DESC, cid ASC) AS crank
+    FROM scored
+  )""".format(k=N_CENTROIDS)
+
+
 ANN_BUCKETED_SQL = """
-WITH q AS (
-  SELECT vec_id AS query_id, label AS qlabel, embedding AS qe
-  FROM embeddings WHERE vec_id % 50 = 0
+WITH {assign},
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM assigned q JOIN assigned c
+    ON q.cid = c.cid AND c.crank = 1
+  WHERE q.vec_id %% 50 = 0 AND q.crank <= {np}
+    AND q.vec_id <> c.vec_id
 ),
 pairs AS (
-  SELECT query_id, e.vec_id AS neighbor_id,
-         ROUND(list_dot_product(qe::DOUBLE[], e.embedding::DOUBLE[]) /
-               (sqrt(list_dot_product(qe::DOUBLE[], qe::DOUBLE[])) *
-                sqrt(list_dot_product(e.embedding::DOUBLE[],
-                                      e.embedding::DOUBLE[]))), 4) AS cosine
-  FROM q JOIN embeddings e ON q.qlabel = e.label
-  WHERE query_id <> e.vec_id
+  SELECT query_id, neighbor_id,
+         ROUND(list_dot_product(q.embedding::DOUBLE[], n.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(q.embedding::DOUBLE[],
+                                      q.embedding::DOUBLE[])) *
+                sqrt(list_dot_product(n.embedding::DOUBLE[],
+                                      n.embedding::DOUBLE[]))), 4) AS cosine
+  FROM cand
+  JOIN embeddings q ON q.vec_id = query_id
+  JOIN embeddings n ON n.vec_id = neighbor_id
 ),
 ranked AS (
   SELECT query_id, neighbor_id, cosine,
@@ -105,7 +169,7 @@ ranked AS (
   FROM pairs
 )
 SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 3
-"""
+""".format(assign=_IVF_ASSIGN_SQL, np=NPROBE).replace("%%", "%")
 
 
 #: random-hyperplane LSH parameters: N_BANDS_LSH independent hash tables

@@ -14,8 +14,9 @@ pytestmark = pytest.mark.skipif(
 
 #: queries whose plan legitimately contains a BroadcastNestedLoopJoin
 NLJ_ALLOWED = {
-    "ann_cosine_topk",   # the declared exactness baseline: full cross join
-    "bm25_search",       # crossJoin(broadcast(<one-row corpus stats>))
+    "ann_cosine_topk",    # the declared exactness baseline: full cross join
+    "bm25_search",        # crossJoin(broadcast(<one-row corpus stats>))
+    "ann_bucketed_topk",  # n x K centroid scoring: broadcast of K=8 rows
 }
 
 
