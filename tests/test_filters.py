@@ -199,3 +199,21 @@ def test_lzw_roundtrip_across_all_width_bumps():
     for early in (0, 1):
         assert lzw_decode(_lzw_encode(raw, early),
                           {"EarlyChange": early}) == raw
+
+
+def test_lzw_iso32000_worked_example():
+    """EXTERNAL known-answer vector (r2 verdict: every prior LZW vector
+    was produced by this repo's own encoder or packed from our reading of
+    the spec): ISO 32000-1 §7.4.4.2's worked example encodes the input
+    45 45 45 45 45 65 45 45 45 66 as the published code sequence
+    256, 45, 258, 258, 65, 259, 66, 257. Packing those codes with the
+    spec's 9-bit big-endian rule gives the byte stream below — an
+    artifact authored by the spec, not by our encoder — which our
+    decoder must invert exactly."""
+    spec_codes = [256, 45, 258, 258, 65, 259, 66, 257]
+    bits = "".join(format(c, "09b") for c in spec_codes)
+    bits += "0" * (-len(bits) % 8)
+    encoded = bytes(int(bits[i:i + 8], 2) for i in range(0, len(bits), 8))
+    assert encoded == bytes.fromhex("800B6050220C0C8501")  # pin the bytes
+    assert lzw_decode(encoded, {}) == bytes(
+        [0x2D] * 5 + [0x41] + [0x2D] * 3 + [0x42])
