@@ -294,7 +294,91 @@ SELECT o_custkey AS custkey FROM (
 """
 
 
+def asof_attribution(spark, sf_dir):
+    """AS-OF JOIN, composed from Spark primitives: every purchase event is
+    attributed to the same user's most recent click at-or-before it
+    (classic attribution / point-in-time-correct feature lookup).
+
+    Scale shape: NOT a range join (which Spark would plan as a per-key
+    cross product) — clicks and purchases are unioned and a single
+    partitionBy(user) orderBy(ts) running last_value(click, ignorenulls)
+    window does the as-of matching in ONE shuffle, O(n log n_partition)
+    sort, no pair blow-up even for hot users. The oracle is DuckDB's
+    NATIVE ASOF LEFT JOIN operator — two independent as-of
+    implementations (composed window vs built-in physical operator) must
+    agree row-for-row.
+
+    (user_id, ts) is unique in the events table, so the match is
+    unambiguous; event_id is a deterministic order tie-break anyway."""
+    ev = (table(spark, sf_dir, "events")
+          .where(F.col("event_type").isin("click", "purchase"))
+          .select("event_id", "user_id", "ts", "event_type"))
+    marked = ev.select(
+        "event_id", "user_id", "ts", "event_type",
+        F.when(F.col("event_type") == "click", F.col("event_id"))
+        .alias("c_id"),
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("c_ts"))
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    att = (marked
+           .withColumn("click_id", F.last("c_id", ignorenulls=True).over(w))
+           .withColumn("click_ts", F.last("c_ts", ignorenulls=True).over(w))
+           .where(F.col("event_type") == "purchase"))
+    us = ("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+          " %s)")
+    # unattributed purchases use a -1 sentinel, not NULL: nullable bigint
+    # columns come back float64 through pandas (fetch-stable-type rule)
+    return att.select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        F.expr(us % "ts").alias("purchase_ts_us"),
+        F.coalesce("click_id", F.lit(-1)).alias("click_id"),
+        F.coalesce(F.expr(us % "ts") - F.expr(us % "click_ts"),
+                   F.lit(-1)).alias("lag_us"))
+
+
+ASOF_SQL = """
+SELECT p.event_id AS purchase_id, p.user_id,
+       epoch_us(p.ts) AS purchase_ts_us,
+       COALESCE(c.event_id, -1) AS click_id,
+       COALESCE(epoch_us(p.ts) - epoch_us(c.ts), -1) AS lag_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+def events_sliding_3h(spark, sf_dir):
+    """Sliding windows (3-hour span, 1-hour slide): each event lands in 3
+    overlapping windows — Spark's window() generates the replicas before
+    one hash aggregate (map-side combinable; state is 3x the tumbling
+    equivalent, not per-event)."""
+    ev = table(spark, sf_dir, "events")
+    return (ev.groupBy(
+        F.window("ts", "3 hours", "1 hour")["start"].alias("ws"))
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum(F.col("value").cast("decimal(18,4)"))
+                     .cast("double"), 2).alias("value_sum"))
+        .select(
+            F.expr("timestampdiff(MICROSECOND, "
+                   "TIMESTAMP_NTZ '1970-01-01 00:00:00', ws)")
+            .alias("window_start_us"),
+            "n_events", "value_sum"))
+
+
+EVENTS_SLIDING_SQL = """
+SELECT epoch_us(date_trunc('hour', ts) - INTERVAL (k) HOUR)
+         AS window_start_us,
+       COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2)
+         AS value_sum
+FROM events, (SELECT unnest(generate_series(0, 2)) AS k) g
+GROUP BY 1
+"""
+
+
 QUERIES = {
+    "asof_attribution": QuerySpec(asof_attribution, ASOF_SQL),
+    "events_sliding_3h": QuerySpec(events_sliding_3h, EVENTS_SLIDING_SQL),
     "pricing_summary": QuerySpec(pricing_summary, PRICING_SQL),
     "pricing_cube": QuerySpec(pricing_cube, PRICING_CUBE_SQL),
     "order_key_set_ops": QuerySpec(order_key_set_ops, SET_OPS_SQL),

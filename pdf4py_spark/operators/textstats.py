@@ -251,7 +251,42 @@ SELECT doc_id, score, rank FROM ranked WHERE rank <= 10
 """
 
 
+def text_length_quantiles(spark, sf_dir):
+    """Exact interpolated quantiles of document token length per source —
+    Spark's percentile() and DuckDB's quantile_cont() share the
+    (n-1)*p linear-interpolation definition, verified value-identical.
+    At 100 TB the exact percentile is a single sort-based aggregate per
+    group; swap in approx_percentile (t-digest sketch, mergeable,
+    bounded memory) when groups stop fitting — the query shape is
+    unchanged."""
+    docs = table(spark, sf_dir, "documents")
+    dl = docs.selectExpr(
+        "source", "cast(size(split(text, ' ')) as double) AS dl")
+    return (dl.groupBy("source").agg(
+        F.round(F.expr("percentile(dl, 0.25D)"), 4).alias("p25"),
+        F.round(F.expr("percentile(dl, 0.5D)"), 4).alias("p50"),
+        F.round(F.expr("percentile(dl, 0.75D)"), 4).alias("p75"),
+        F.round(F.expr("percentile(dl, 0.95D)"), 4).alias("p95"),
+        F.count("*").alias("n_docs")))
+
+
+TEXT_QUANTILES_SQL = """
+SELECT source,
+       ROUND(quantile_cont(dl, 0.25), 4) AS p25,
+       ROUND(quantile_cont(dl, 0.5), 4) AS p50,
+       ROUND(quantile_cont(dl, 0.75), 4) AS p75,
+       ROUND(quantile_cont(dl, 0.95), 4) AS p95,
+       COUNT(*) AS n_docs
+FROM (SELECT source,
+             CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+      FROM documents)
+GROUP BY source
+"""
+
+
 QUERIES = {
+    "text_length_quantiles": QuerySpec(text_length_quantiles,
+                                       TEXT_QUANTILES_SQL),
     "text_quality": QuerySpec(text_quality, TEXT_QUALITY_SQL),
     "lang_id": QuerySpec(lang_id, LANG_ID_SQL),
     "token_rollup": QuerySpec(token_rollup, TOKEN_ROLLUP_SQL),

@@ -199,3 +199,36 @@ def test_media_frame_digest_is_jvm_side(spark, queries):
     assert "md5(" in plan and "MapInPandas" in plan
     assert plan.index("md5(") < plan.index("MapInPandas"), \
         "digest must sit above (after) the kernel, JVM-side"
+
+
+def test_asof_attribution_semantics(spark):
+    """As-of contract on a hand-built timeline: a purchase matches the
+    LATEST click at-or-before it, per user, never a later click, never
+    another user's; unattributed purchases carry the -1 sentinel."""
+    import datetime
+
+    from pdf4py_spark.operators.relational import asof_attribution
+    from pdf4py_spark.streaming.windowed import EVENTS_SCHEMA
+
+    t = lambda m: datetime.datetime(2026, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        (1, t(0), 7, "click", 0.0, ""),
+        (2, t(5), 7, "click", 0.0, ""),
+        (3, t(6), 7, "purchase", 1.0, ""),   # -> click 2 (latest <=)
+        (4, t(7), 7, "purchase", 1.0, ""),   # -> click 2 still
+        (5, t(8), 7, "click", 0.0, ""),      # later: must not backfill
+        (6, t(1), 8, "purchase", 1.0, ""),   # other user, no click -> -1
+        (7, t(2), 8, "click", 0.0, ""),
+        (8, t(2), 9, "purchase", 1.0, ""),   # user 9 never clicks -> -1
+    ]
+    import os, tempfile  # noqa: E401
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1) \
+        .write.mode("overwrite").parquet(os.path.join(d, "staged"))
+    import glob, shutil  # noqa: E401
+    shutil.copy(glob.glob(os.path.join(d, "staged", "part-*.parquet"))[0],
+                os.path.join(d, "events.parquet"))
+    got = {r["purchase_id"]: (r["click_id"], r["lag_us"])
+           for r in asof_attribution(spark, d).collect()}
+    assert got == {3: (2, 60_000_000), 4: (2, 120_000_000),
+                   6: (-1, -1), 8: (-1, -1)}
