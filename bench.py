@@ -126,8 +126,12 @@ BENCH_QUERIES = (
     "revenue_by_nation",
     "top_orders_per_segment",
     "events_hourly",
+    "events_sliding_3h",
     "sessionize",
+    "asof_attribution",
+    "text_length_quantiles",
     "media_frame_sample",
+    "media_wav_decode",
 )
 
 
