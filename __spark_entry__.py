@@ -5,15 +5,18 @@ entry()      — flagship: the full extraction pipeline (Catalyst dispatch ->
                view of the documents table at sf0.001.
 queries()    — one entry per implemented operator (SURVEY.md §2): the
                extraction family (kernel-driven, including the byte-identity
-               md5 gate over the reference-corpus fixture), dedup
-               (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding
-               cosine), similarity search (brute-force + bucketed ANN),
-               text analysis (quality / lang-id / token rollup /
-               fingerprint), relational + windowed/sessionized queries, and
-               multimodal plumbing.
-oracle_sql() — the DuckDB-equivalent ANSI SQL per query;
-               media_frame_sample is intentionally rows-only (Arrow kernel,
-               not SQL-expressible).
+               md5 gates over the reference-corpus fixture in raw AND
+               font/encoding-aware unicode modes), dedup (exact /
+               MinHash-LSH / clusters / true connected components / SimHash
+               / n-gram Jaccard / embedding cosine), similarity search
+               (brute-force, computed-IVF, sign-LSH), text analysis
+               (quality / lang-id / token rollup / fingerprint / BM25 /
+               exact quantiles), relational + windowed / sliding / as-of /
+               sessionized queries, a production-shape Structured Streaming
+               leg, and multimodal (metadata, frame sampling, a REAL wav
+               decode).
+oracle_sql() — the DuckDB-equivalent ANSI SQL per query; every gated
+               query carries an exact oracle (none are rows-only).
 """
 
 from __future__ import annotations
