@@ -132,6 +132,7 @@ BENCH_QUERIES = (
     "text_length_quantiles",
     "media_frame_sample",
     "media_wav_decode",
+    "media_png_decode",
 )
 
 

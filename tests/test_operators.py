@@ -187,7 +187,44 @@ def test_decode_media_real_wav_roundtrip():
     with pytest.raises((wave_mod.Error, EOFError)):
         decode_media(b"RIFFgarbage-not-a-wav", "audio/wav")
     with pytest.raises(NotImplementedError):
-        decode_media(b"\x89PNG...", "image/png")
+        decode_media(b"\x00\x00\x00\x18ftypmp42", "video/mp4")
+
+
+def test_decode_media_real_png_roundtrip():
+    """The image/png branch is a REAL pngcodec decode: header fields and
+    defiltered pixels round-trip through a container whose row filters
+    cycle all five types; malformed containers raise PngError."""
+    import pytest
+
+    from pdf4py_spark.kernel.pngcodec import PngError
+    from pdf4py_spark.operators.multimodal import (
+        decode_media, png_container,
+    )
+
+    payload = bytes(range(256)) * 2  # 512 B -> 16 grey rows of 32
+    dec = decode_media(png_container(payload, 0), "image/png")
+    assert (dec["width"], dec["height"], dec["color_type"]) == (32, 16, 0)
+    assert dec["pixels"] == payload
+
+    # RGB: rows are 96 bytes; 512 B pads to 6 rows
+    dec = decode_media(png_container(payload, 2), "image/png")
+    assert (dec["width"], dec["height"], dec["color_type"]) == (32, 6, 2)
+    assert dec["pixels"] == payload + b"\x00" * (6 * 96 - 512)
+
+    # empty payload -> one zero row, never a zero-dim image
+    dec = decode_media(png_container(b"", 0), "image/png")
+    assert (dec["height"], dec["pixels"]) == (1, b"\x00" * 32)
+
+    with pytest.raises(PngError):
+        decode_media(b"\x89PNG\r\n\x1a\ngarbage", "image/png")
+
+
+def test_media_png_gate_shape(spark, queries):
+    rows = queries["media_png_decode"].fn(spark, SF).collect()
+    assert rows
+    assert all(r["width"] == 32 and r["bit_depth"] == 8 for r in rows)
+    assert {r["color_type"] for r in rows} == {0, 2}
+    assert all(len(r["pixel_md5"]) == 32 for r in rows)
 
 
 def test_media_frame_digest_is_jvm_side(spark, queries):
