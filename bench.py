@@ -133,6 +133,7 @@ BENCH_QUERIES = (
     "media_frame_sample",
     "media_wav_decode",
     "media_png_decode",
+    "sessions_stream",
 )
 
 

@@ -34,6 +34,8 @@ from . import QuerySpec
 #: (max event time - delay) passes their end
 WATERMARK_DELAY = "2 hours"
 
+STREAM_TMP = "/tmp/pdf4py_spark_stream"
+
 
 def events_hourly_stream(spark, sf_dir):
     from ..streaming.windowed import EVENTS_SCHEMA
@@ -82,7 +84,87 @@ GROUP BY 1, 2
 """
 
 
+def sessions_stream(spark, sf_dir):
+    """Gated leg of the CUSTOM STATEFUL streaming operator
+    (applyInPandasWithState session assembly, streaming/stateful.py).
+
+    The events table is replayed as an event-time-ordered file stream
+    (range-partitioned on ts; file mtimes set ascending so the file
+    source's mtime-ordered listing preserves event-time order across
+    micro-batches — the determinism contract that makes an EXACT oracle
+    possible). Each batch advances the watermark; a 30-minute silence
+    closes a session either when the user's next event arrives (gap
+    path) or when the event-time timer fires after the watermark passes
+    end + gap (timeout path — including the terminal no-data batch,
+    verified to run under trigger(availableNow)).
+
+    Emitted set, pinned by tests/test_streaming_stateful.py:
+      every gaps-and-islands session EXCEPT a user's last one that is
+      still open at the final watermark — i.e. last sessions emit iff
+      end_ms + GAP_ms < max(ts)_ms - delay_ms STRICTLY (equality stays
+      open: Spark fires event-time timers only when watermark > timer).
+    """
+    from ..streaming.stateful import sessionize_stream
+
+    base = os.path.join(STREAM_TMP, uuid.uuid4().hex[:12])
+    src, out = os.path.join(base, "in"), os.path.join(base, "out")
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        ev = (spark.read.parquet(os.path.join(sf_dir, "events.parquet")))
+        (ev.withColumn("us", F.unix_micros(F.col("ts").cast("timestamp")))
+           .repartitionByRange(8, "us").drop("us")
+           .write.parquet(src))
+        # part-file names sort in range order; stamp ascending mtimes so
+        # the stream replays oldest-events-first
+        parts = sorted(f for f in os.listdir(src)
+                       if f.startswith("part-") and f.endswith(".parquet"))
+        for i, name in enumerate(parts):
+            path = os.path.join(src, name)
+            os.utime(path, (1_000_000 + i * 10, 1_000_000 + i * 10))
+        sessionize_stream(spark, src, out)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+    return (spark.read.parquet(os.path.join(out, "sessions"))
+            .select("user_id", "session_start_us", "session_end_us",
+                    F.col("n_events").cast("bigint").alias("n_events")))
+
+
+SESSIONS_STREAM_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL '30' MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+runs AS (
+  SELECT user_id, ts,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_seq
+  FROM flagged
+),
+sessions AS (
+  SELECT user_id, session_seq,
+         epoch_us(MIN(ts)) AS session_start_us,
+         epoch_us(MAX(ts)) AS session_end_us,
+         COUNT(*) AS n_events
+  FROM runs GROUP BY user_id, session_seq
+)
+SELECT user_id, session_start_us, session_end_us, n_events
+FROM (SELECT s.*,
+             MAX(session_seq) OVER (PARTITION BY user_id) AS last_seq
+      FROM sessions s)
+WHERE session_seq < last_seq
+   OR session_end_us // 1000 + 1800000
+      < (SELECT MAX(epoch_us(ts)) // 1000 - 3600000 FROM events)
+"""
+
+
 QUERIES = {
     "events_hourly_stream": QuerySpec(events_hourly_stream,
                                       EVENTS_HOURLY_STREAM_SQL),
+    "sessions_stream": QuerySpec(sessions_stream, SESSIONS_STREAM_SQL),
 }

@@ -56,3 +56,69 @@ def test_stateful_sessionize(spark, tmp_path):
     before = sessions.count()
     sessionize_stream(spark, src, out)
     assert spark.read.parquet(os.path.join(out, "sessions")).count() == before
+
+
+def _write_ordered_files(spark, df, src, preds):
+    """One parquet file per predicate, mtimes ascending, so the file
+    source replays them in that order."""
+    import shutil
+    for i, pred in enumerate(preds):
+        part_dir = src + "_tmp"
+        shutil.rmtree(part_dir, ignore_errors=True)
+        df.where(pred).coalesce(1).write.parquet(part_dir)
+        os.makedirs(src, exist_ok=True)
+        name = [f for f in os.listdir(part_dir) if f.endswith(".parquet")][0]
+        dst = os.path.join(src, "f%d.parquet" % i)
+        shutil.copy(os.path.join(part_dir, name), dst)
+        os.utime(dst, (1_000_000 + i * 10, 1_000_000 + i * 10))
+        shutil.rmtree(part_dir)
+
+
+def test_stateful_gate_semantics_and_timeout_boundary(spark, tmp_path):
+    """Pins the THREE facts the sessions_stream oracle relies on:
+
+    1. the terminal no-data batch fires event-time timers, so a user's
+       last session emits when its deadline has passed the final
+       watermark (u101's 12:00 lone event, u102);
+    2. the timer comparison is STRICT — deadline == final watermark
+       stays open (u104: last event 18:30, deadline 19:00:00.000 equals
+       watermark max(20:00) - 1h exactly, must NOT emit);
+    3. a session past the watermark horizon stays open (u103 at the max
+       event time itself).
+    """
+    from pyspark.sql import functions as F
+
+    src, out = str(tmp_path / "in"), str(tmp_path / "bout")
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        rows = [
+            (1, 101, "t", "2024-01-01 10:00:00", 1.0),
+            (2, 101, "t", "2024-01-01 10:10:00", 1.0),
+            (3, 102, "t", "2024-01-01 10:05:00", 1.0),
+            (4, 101, "t", "2024-01-01 12:00:00", 1.0),
+            (5, 104, "t", "2024-01-01 18:30:00", 1.0),
+            (6, 103, "t", "2024-01-01 20:00:00", 1.0),
+        ]
+        df = (spark.createDataFrame(
+            rows, "event_id bigint, user_id bigint, event_type string, "
+                  "ts_s string, value double")
+            .withColumn("ts", F.col("ts_s").cast("timestamp_ntz"))
+            .select("event_id", "user_id", "event_type", "ts", "value"))
+        _write_ordered_files(spark, df, src, [
+            "event_id <= 3", "event_id in (4, 5)", "event_id = 6"])
+        sessionize_stream(spark, src, out)
+        got = sorted(
+            (r["user_id"], r["session_start_us"] // 1_000_000,
+             r["n_events"])
+            for r in spark.read.parquet(
+                os.path.join(out, "sessions")).collect())
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+    base = 1704103200  # 2024-01-01 10:00:00 UTC
+    assert got == [
+        (101, base, 2),          # gap-closed by the 12:00 event
+        (101, base + 7200, 1),   # timeout via the terminal no-data batch
+        (102, base + 300, 1),    # timeout
+        # u103 (open at max ts) and u104 (deadline == watermark) withheld
+    ]
