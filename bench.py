@@ -124,6 +124,9 @@ BENCH_QUERIES = (
     "bm25_search",
     "pricing_summary",
     "revenue_by_nation",
+    "min_cost_supplier",
+    "market_share",
+    "latest_event_per_user",
     "top_orders_per_segment",
     "events_hourly",
     "events_sliding_3h",

@@ -376,6 +376,156 @@ GROUP BY 1
 """
 
 
+def min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2-flavored correlated-min: per part, the supplier with the
+    cheapest observed supply (min lineitem extendedprice per (part,
+    supplier)), winner picked by row_number over (cost, s_suppkey) — a
+    deterministic tie-break, so the result is exact, not 'any min'.
+
+    Scale shape: lineitem -> one hash aggregate on the composite key
+    (map-side combinable), then a window over l_partkey (same hash
+    partitioning, AQE coalesces); supplier and nation broadcast; the
+    part join is key-partitioned both sides (sort-merge at 100 TB — part
+    grows with SF, never broadcast it)."""
+    li = table(spark, sf_dir, "lineitem")
+    sup = table(spark, sf_dir, "supplier")
+    nat = table(spark, sf_dir, "nation")
+    part = table(spark, sf_dir, "part")
+    cost = (li.groupBy("l_partkey", "l_suppkey")
+            .agg(F.min(F.col("l_extendedprice").cast("decimal(18,4)"))
+                 .alias("cost")))
+    w = Window.partitionBy("l_partkey").orderBy("cost", "l_suppkey")
+    best = cost.withColumn("rn", F.row_number().over(w)).where("rn = 1")
+    return (best
+            .join(part, best["l_partkey"] == part["p_partkey"])
+            .join(F.broadcast(sup), best["l_suppkey"] == sup["s_suppkey"])
+            .join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+            .select("p_partkey", "p_brand", "s_name",
+                    F.col("n_name").alias("supplier_nation"),
+                    F.round(F.col("cost").cast("double"), 2)
+                    .alias("min_supply_cost")))
+
+
+MIN_COST_SQL = """
+WITH cost AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(CAST(l_extendedprice AS DECIMAL(18,4))) AS cost
+  FROM lineitem GROUP BY 1, 2
+),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY l_partkey
+                               ORDER BY cost, l_suppkey) AS rn
+  FROM cost
+)
+SELECT p_partkey, p_brand, s_name, n_name AS supplier_nation,
+       ROUND(CAST(cost AS DOUBLE), 2) AS min_supply_cost
+FROM best
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE rn = 1
+"""
+
+
+def market_share(spark, sf_dir):
+    """TPC-H Q8-flavored market share: per order-year, each supplier
+    nation's slice of ASIA-region revenue. Revenue stays exact DECIMAL
+    through both aggregates; the share is one double division of two
+    identical exact values (IEEE-deterministic), rounded at the edge.
+
+    Scale shape: the only big-big join is lineitem->orders on orderkey
+    (sort-merge); supplier/nation/region are broadcast; the year total
+    reuses the groupBy output via a window over o_year instead of a
+    second scan-and-join."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    sup = table(spark, sf_dir, "supplier")
+    nat = table(spark, sf_dir, "nation")
+    reg = table(spark, sf_dir, "region")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    supnat = (sup
+              .join(F.broadcast(nat),
+                    sup["s_nationkey"] == nat["n_nationkey"])
+              .join(F.broadcast(reg.where("r_name = 'ASIA'")),
+                    nat["n_regionkey"] == reg["r_regionkey"])
+              .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    rev = li.select(
+        "l_orderkey", "l_suppkey",
+        (dec("l_extendedprice")
+         * (F.lit(1).cast("decimal(18,4)") - dec("l_discount")))
+        .cast("decimal(18,4)").alias("r"))
+    joined = (rev
+              .join(F.broadcast(supnat),
+                    rev["l_suppkey"] == supnat["s_suppkey"])
+              .join(orders.select(
+                  "o_orderkey", F.year("o_orderdate").alias("o_year")),
+                  rev["l_orderkey"] == F.col("o_orderkey")))
+    by_nation = (joined.groupBy("o_year", "supp_nation")
+                 .agg(F.sum("r").alias("nrev")))
+    year_w = Window.partitionBy("o_year")
+    return (by_nation
+            .withColumn("yrev", F.sum("nrev").over(year_w))
+            .select(F.col("o_year").cast("int").alias("o_year"),
+                    "supp_nation",
+                    F.round(F.col("nrev").cast("double"), 2)
+                    .alias("nation_revenue"),
+                    F.round(F.col("nrev").cast("double")
+                            / F.col("yrev").cast("double"), 6)
+                    .alias("mkt_share")))
+
+
+MARKET_SHARE_SQL = """
+WITH rev AS (
+  SELECT year(o_orderdate) AS o_year, n_name AS supp_nation,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+              (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+              AS DECIMAL(18,4)) AS r
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+),
+by_nation AS (
+  SELECT o_year, supp_nation, SUM(r) AS nrev FROM rev GROUP BY 1, 2
+)
+SELECT CAST(o_year AS INT) AS o_year, supp_nation,
+       ROUND(CAST(nrev AS DOUBLE), 2) AS nation_revenue,
+       ROUND(CAST(nrev AS DOUBLE) /
+             CAST(SUM(nrev) OVER (PARTITION BY o_year) AS DOUBLE), 6)
+         AS mkt_share
+FROM by_nation
+"""
+
+
+def latest_event_per_user(spark, sf_dir):
+    """Keep-latest compaction — the web-crawl 'latest snapshot per url'
+    / CDC-upsert pattern: one row per (user_id, event_type), keeping the
+    most recent event by (ts, event_id). One hash shuffle on the key; at
+    100 TB this is the standard row_number compaction (with AQE handling
+    hot keys; no sort of the whole table, only within key groups)."""
+    ev = table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id", "event_type")
+         .orderBy(F.desc("ts"), F.desc("event_id")))
+    return (ev.withColumn("rn", F.row_number().over(w)).where("rn = 1")
+            .select("user_id", "event_type", "event_id",
+                    F.expr("timestampdiff(MICROSECOND, "
+                           "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+                    .alias("ts_us"),
+                    F.round(F.col("value").cast("decimal(18,4)")
+                            .cast("double"), 3).alias("value")))
+
+
+LATEST_EVENT_SQL = """
+SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
+       ROUND(CAST(CAST(value AS DECIMAL(18,4)) AS DOUBLE), 3) AS value
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
 QUERIES = {
     "asof_attribution": QuerySpec(asof_attribution, ASOF_SQL),
     "events_sliding_3h": QuerySpec(events_sliding_3h, EVENTS_SLIDING_SQL),
@@ -388,4 +538,8 @@ QUERIES = {
     "events_hourly": QuerySpec(events_hourly, EVENTS_HOURLY_SQL),
     "sessionize": QuerySpec(sessionize, SESSIONIZE_SQL),
     "sessionize_native": QuerySpec(sessionize_native, SESSIONIZE_NATIVE_SQL),
+    "min_cost_supplier": QuerySpec(min_cost_supplier, MIN_COST_SQL),
+    "market_share": QuerySpec(market_share, MARKET_SHARE_SQL),
+    "latest_event_per_user": QuerySpec(latest_event_per_user,
+                                       LATEST_EVENT_SQL),
 }
