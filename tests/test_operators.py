@@ -269,3 +269,41 @@ def test_asof_attribution_semantics(spark):
            for r in asof_attribution(spark, d).collect()}
     assert got == {3: (2, 60_000_000), 4: (2, 120_000_000),
                    6: (-1, -1), 8: (-1, -1)}
+
+
+def test_sketch_swapins_track_exact_aggregates(spark):
+    """The documented 100 TB swap-ins are real and bounded, not vapor:
+
+    * approx_count_distinct (HyperLogLog++, mergeable, fixed memory) must
+      land within its configured rsd of the exact COUNT(DISTINCT) that
+      events_hourly computes per group;
+    * approx_percentile (mergeable sketch, bounded memory) must land
+      within 5% relative error of the exact percentile() that
+      text_length_quantiles computes.
+
+    Both run over the full sf0.001 tables, same group keys as the gated
+    exact queries."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(SF + "/events.parquet")
+    got = (ev.groupBy("event_type")
+           .agg(F.countDistinct("user_id").alias("exact"),
+                F.expr("approx_count_distinct(user_id, 0.02)")
+                .alias("approx"))
+           .collect())
+    assert got
+    for r in got:
+        # 0.02 rsd; allow 4 sigma
+        assert abs(r["approx"] - r["exact"]) <= max(0.08 * r["exact"], 2), r
+
+    docs = spark.read.parquet(SF + "/documents.parquet")
+    dl = docs.selectExpr("source",
+                         "cast(size(split(text, ' ')) as double) AS dl")
+    rows = (dl.groupBy("source")
+            .agg(F.expr("percentile(dl, 0.5D)").alias("exact"),
+                 F.expr("approx_percentile(dl, 0.5D, 10000)")
+                 .alias("approx"))
+            .collect())
+    assert rows
+    for r in rows:
+        assert abs(r["approx"] - r["exact"]) <= 0.05 * max(r["exact"], 1), r
