@@ -109,11 +109,18 @@ def sessions_stream(spark, sf_dir):
     base = os.path.join(STREAM_TMP, uuid.uuid4().hex[:12])
     src, out = os.path.join(base, "in"), os.path.join(base, "out")
     old_tz = spark.conf.get("spark.sql.session.timeZone")
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # micro-batch fixed costs dominate this drain (state store opens one
+    # partition per shuffle partition PER BATCH); the result is invariant
+    # to both knobs — only ascending replay order and the final watermark
+    # matter — so run the drain narrow. At cluster scale these revert to
+    # the site defaults and the per-batch cost amortizes over volume.
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         ev = (spark.read.parquet(os.path.join(sf_dir, "events.parquet")))
         (ev.withColumn("us", F.unix_micros(F.col("ts").cast("timestamp")))
-           .repartitionByRange(8, "us").drop("us")
+           .repartitionByRange(4, "us").drop("us")
            .write.parquet(src))
         # part-file names sort in range order; stamp ascending mtimes so
         # the stream replays oldest-events-first
@@ -125,6 +132,7 @@ def sessions_stream(spark, sf_dir):
         sessionize_stream(spark, src, out)
     finally:
         spark.conf.set("spark.sql.session.timeZone", old_tz)
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
     return (spark.read.parquet(os.path.join(out, "sessions"))
             .select("user_id", "session_start_us", "session_end_us",
                     F.col("n_events").cast("bigint").alias("n_events")))
