@@ -12,9 +12,12 @@ queries()    — one entry per implemented operator (SURVEY.md §2): the
                (brute-force, computed-IVF, sign-LSH), text analysis
                (quality / lang-id / token rollup / fingerprint / BM25 /
                exact quantiles), relational + windowed / sliding / as-of /
-               sessionized queries, a production-shape Structured Streaming
-               leg, and multimodal (metadata, frame sampling, a REAL wav
-               decode).
+               sessionized queries (incl. Q2-style argmin, Q8-style market
+               share, keep-latest CDC compaction), TWO Structured
+               Streaming legs (production-shape windowed aggregation AND
+               the custom stateful applyInPandasWithState sessionizer),
+               and multimodal (metadata, frame sampling, REAL wav and
+               REAL png decodes).
 oracle_sql() — the DuckDB-equivalent ANSI SQL per query; every gated
                query carries an exact oracle (none are rows-only).
 """
