@@ -136,6 +136,8 @@ BENCH_QUERIES = (
     "media_frame_sample",
     "media_wav_decode",
     "media_png_decode",
+    "url_canonicalize",
+    "domain_rollup",
     "sessions_stream",
 )
 

@@ -1,0 +1,180 @@
+"""Web-corpus operators: URL canonicalization and domain rollups — the
+crawl-side half of a Common-Crawl-style pipeline (the extraction kernel
+is the content-side half).
+
+The documents table has no realistic URLs, so a deterministic MESSY url
+is synthesized per doc (mixed-case scheme/host, default and non-default
+ports, unsorted query params, fragments) by a pure expression mirrored
+in the oracle. The NORMALIZATION itself is generic string algebra over
+that url column only — it never peeks at doc_id — so the gate exercises
+the actual canonicalization rules:
+
+* scheme and host lowercased
+* default ports stripped (:80 on http, :443 on https), others kept
+* fragment dropped
+* query parameters sorted bytewise
+* empty path canonicalized to '/'
+
+Registrable-domain extraction takes the last two dot-labels — a
+declared simplification: production swaps in the Mozilla Public Suffix
+List (effective-TLD rules), same column contract.
+
+Everything here is whole-stage-codegen Catalyst (regexp/string/array
+expressions, one hash aggregate for the rollup): no kernel, no UDF, no
+shuffle beyond the rollup's own groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from . import QuerySpec, table
+
+#: deterministic messy-url synthesis (Spark side; oracle mirrors in SQL)
+_RAW_URL = (
+    "concat("
+    " element_at(array('HTTPS', 'http', 'Http'),"
+    "            cast(doc_id % 3 as int) + 1),"
+    " '://WWW.Site', cast(doc_id % 97 as string),"
+    " element_at(array('.Example.COM', '.Test.ORG', '.Mirror.NET',"
+    "                  '.Archive.ORG', '.Corpus.IO', '.Crawl.DEV',"
+    "                  '.Pages.COM'),"
+    "            cast(doc_id % 7 as int) + 1),"
+    " element_at(array(':80', ':443', ':8080', ''),"
+    "            cast(doc_id % 4 as int) + 1),"
+    " '/Docs/', cast(doc_id as string),"
+    " element_at(array('?z=26&a=1&m=13', '?a=1'),"
+    "            cast(doc_id % 2 as int) + 1),"
+    " element_at(array('#Section-2', '', '', '', ''),"
+    "            cast(doc_id % 5 as int) + 1))"
+)
+
+
+def _with_canonical(df):
+    """Generic canonicalization of a ``url`` string column."""
+    scheme = F.lower(F.regexp_extract(
+        "url", r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    auth = F.lower(F.regexp_extract(
+        "url", r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    host = F.regexp_replace(auth, r":[0-9]+$", "")
+    port = F.regexp_extract(auth, r":([0-9]+)$", 1)
+    keep_port = (port != F.lit("")) & ~(
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443")))
+    path = F.regexp_extract(
+        "url", r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract("url", r"\?([^#]*)", 1)
+    qnorm = F.when(query == "", F.lit("")).otherwise(
+        F.concat(F.lit("?"),
+                 F.array_join(F.array_sort(F.split(query, "&")), "&")))
+    return (df
+            .withColumn("canonical_url", F.concat(
+                scheme, F.lit("://"), host,
+                F.when(keep_port, F.concat(F.lit(":"), port))
+                .otherwise(F.lit("")),
+                path, qnorm))
+            .withColumn("host", host)
+            .withColumn("domain",
+                        F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)))
+
+
+def url_canonicalize(spark, sf_dir):
+    """Canonical URL per document; the dedup key a crawl pipeline groups
+    snapshots by. Pure projection — zero shuffles."""
+    docs = table(spark, sf_dir, "documents")
+    urls = docs.select("doc_id", F.expr(_RAW_URL).alias("url"))
+    return _with_canonical(urls).select(
+        "doc_id", "url", "canonical_url", "host", "domain")
+
+
+_RAW_URL_SQL = """
+  (['HTTPS', 'http', 'Http'][CAST(doc_id % 3 AS INT) + 1])
+  || '://WWW.Site' || CAST(doc_id % 97 AS VARCHAR)
+  || (['.Example.COM', '.Test.ORG', '.Mirror.NET', '.Archive.ORG',
+       '.Corpus.IO', '.Crawl.DEV', '.Pages.COM']
+        [CAST(doc_id % 7 AS INT) + 1])
+  || ([':80', ':443', ':8080', ''][CAST(doc_id % 4 AS INT) + 1])
+  || '/Docs/' || CAST(doc_id AS VARCHAR)
+  || (['?z=26&a=1&m=13', '?a=1'][CAST(doc_id % 2 AS INT) + 1])
+  || (['#Section-2', '', '', '', ''][CAST(doc_id % 5 AS INT) + 1])
+"""
+
+_CANON_SQL = """
+WITH raw AS (
+  SELECT doc_id, {raw_url} AS url FROM documents
+),
+parts AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+           AS scheme,
+         lower(regexp_extract(url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS auth,
+         regexp_extract(url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
+         regexp_extract(url, '\\?([^#]*)', 1) AS query0
+  FROM raw
+),
+norm AS (
+  SELECT doc_id, url, scheme,
+         regexp_replace(auth, ':[0-9]+$', '') AS host,
+         regexp_extract(auth, ':([0-9]+)$', 1) AS port,
+         CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+         CASE WHEN query0 = '' THEN ''
+              ELSE '?' || array_to_string(
+                     list_sort(string_split(query0, '&')), '&') END AS q
+  FROM parts
+)
+SELECT doc_id, url,
+       scheme || '://' || host ||
+       CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
+                                  OR (scheme = 'https' AND port = '443'))
+            THEN ':' || port ELSE '' END || path || q AS canonical_url,
+       host,
+       regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain
+FROM norm
+"""
+
+URL_CANON_SQL = _CANON_SQL.format(raw_url=_RAW_URL_SQL)
+
+
+def domain_rollup(spark, sf_dir):
+    """Crawl accounting per registrable domain: page and distinct-host
+    counts plus text volume. ONE hash aggregate (map-side combinable;
+    count distinct expands to the standard two-phase plan) — the shape
+    that survives a 10^12-page crawl because domain cardinality is
+    millions, not trillions."""
+    docs = table(spark, sf_dir, "documents")
+    urls = docs.select("doc_id", "text",
+                       F.expr(_RAW_URL).alias("url"))
+    return (_with_canonical(urls)
+            .groupBy("domain")
+            .agg(F.count("*").alias("n_pages"),
+                 F.countDistinct("host").alias("n_hosts"),
+                 F.sum(F.octet_length("text").cast("bigint"))
+                 .cast("bigint").alias("text_bytes")))
+
+
+DOMAIN_ROLLUP_SQL = """
+WITH raw AS (
+  SELECT doc_id, text, {raw_url} AS url FROM documents
+),
+hosts AS (
+  SELECT doc_id, text,
+         regexp_replace(lower(regexp_extract(url,
+             '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+             ':[0-9]+$', '') AS host
+  FROM raw
+)
+SELECT regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain,
+       COUNT(*) AS n_pages,
+       COUNT(DISTINCT host) AS n_hosts,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS text_bytes
+FROM hosts GROUP BY 1
+""".format(raw_url=_RAW_URL_SQL)
+
+
+QUERIES = {
+    "url_canonicalize": QuerySpec(url_canonicalize, URL_CANON_SQL),
+    "domain_rollup": QuerySpec(domain_rollup, DOMAIN_ROLLUP_SQL),
+}

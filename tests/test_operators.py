@@ -307,3 +307,28 @@ def test_sketch_swapins_track_exact_aggregates(spark):
     assert rows
     for r in rows:
         assert abs(r["approx"] - r["exact"]) <= 0.05 * max(r["exact"], 1), r
+
+
+def test_url_canonicalization_rules(spark):
+    """The normalization is generic string algebra — pin each rule on
+    hand-built URLs (not the synthesized corpus ones)."""
+    from pdf4py_spark.operators.webtext import _with_canonical
+    cases = [
+        (1, "HTTP://WWW.Ex.COM:80/A/b?z=2&a=1#frag",
+         "http://www.ex.com/A/b?a=1&z=2", "www.ex.com", "ex.com"),
+        (2, "https://Host.Org:443/p", "https://host.org/p",
+         "host.org", "host.org"),
+        (3, "http://h.net:8080/x", "http://h.net:8080/x", "h.net",
+         "h.net"),           # non-default port survives
+        (4, "https://a.b.c.io:80/q", "https://a.b.c.io:80/q",
+         "a.b.c.io", "c.io"),  # :80 is NOT default for https
+        (5, "Http://UP.dev", "http://up.dev/", "up.dev", "up.dev"),
+        (6, "http://s.com?b=2&a=10&a=1#x", "http://s.com/?a=1&a=10&b=2",
+         "s.com", "s.com"),  # empty path -> '/', bytewise param sort
+    ]
+    df = spark.createDataFrame([(i, u) for i, u, *_ in cases],
+                               "doc_id bigint, url string")
+    got = {r["doc_id"]: (r["canonical_url"], r["host"], r["domain"])
+           for r in _with_canonical(df).collect()}
+    for i, _, canon, host, domain in cases:
+        assert got[i] == (canon, host, domain), (i, got[i])
