@@ -122,6 +122,7 @@ BENCH_QUERIES = (
     "token_rollup",
     "fingerprint",
     "bm25_search",
+    "curated_corpus",
     "pricing_summary",
     "revenue_by_nation",
     "min_cost_supplier",

@@ -284,9 +284,95 @@ GROUP BY source
 """
 
 
+def curated_corpus(spark, sf_dir):
+    """The end-to-end curation pipeline composed from this engine's own
+    operators — what a training-data team actually ships:
+
+      1. exact dedup, keep-min canonical (row_number over md5(text):
+         one hash shuffle, WindowGroupLimit pushes the top-1 partial);
+      2. quality gate (text_quality's keep rule: 10 <= tokens <= 1000,
+         type-token ratio >= 0.1) — pure projection + filter;
+      3. language gate (lang_id's stopword vote over a broadcast dim);
+         docs with zero stopword hits ('und') drop via the inner join.
+
+    Each stage's semantics are individually gated elsewhere; this query
+    gates their COMPOSITION, including the order (dedup before the
+    expensive token explode, filter before the join)."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    wdup = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    canon = (docs.withColumn("rk", F.row_number().over(wdup))
+             .where("rk = 1").drop("rk"))
+    toks = F.split("text", " ")
+    feats = canon.select(
+        "doc_id", "source", "text",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.round(F.size(F.array_distinct(toks)) / F.size(toks), 4)
+        .alias("ttr"))
+    kept = feats.where("n_tokens >= 10 AND n_tokens <= 1000 "
+                       "AND ttr >= 0.1")
+    stop_rows = [(lang, w) for lang, ws in sorted(STOPWORDS.items())
+                 for w in ws]
+    stop = spark.createDataFrame(stop_rows, "cand_lang string, w string")
+    tok = (kept.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("w")))
+    hits = (tok.join(F.broadcast(stop), "w")
+            .groupBy("doc_id", "cand_lang")
+            .agg(F.count("*").alias("n_hits")))
+    wbest = Window.partitionBy("doc_id").orderBy(
+        F.desc("n_hits"), F.asc("cand_lang"))
+    best = (hits.withColumn("rk", F.row_number().over(wbest))
+            .where("rk = 1")
+            .select("doc_id", F.col("cand_lang").alias("predicted_lang")))
+    return (kept.join(best, "doc_id")
+            .select("doc_id", "source", "predicted_lang", "n_tokens",
+                    "ttr", F.md5("text").alias("text_md5")))
+
+
+CURATED_SQL = """
+WITH canon AS (
+  SELECT * FROM (
+    SELECT d.*, ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                   ORDER BY doc_id) AS rk
+    FROM documents d) WHERE rk = 1
+),
+kept AS (
+  SELECT * FROM (
+    SELECT doc_id, source, text,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           ROUND(len(list_distinct(string_split(text, ' '))) /
+                 len(string_split(text, ' ')), 4) AS ttr
+    FROM canon)
+  WHERE n_tokens >= 10 AND n_tokens <= 1000 AND ttr >= 0.1
+),
+tok AS (
+  SELECT DISTINCT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM kept)
+),
+hits AS (
+  SELECT doc_id, cand_lang, COUNT(*) AS n_hits
+  FROM tok JOIN {stop} ON tok.w = stop.w
+  GROUP BY doc_id, cand_lang
+),
+best AS (
+  SELECT doc_id, cand_lang AS predicted_lang,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY n_hits DESC, cand_lang ASC) AS rk
+  FROM hits
+)
+SELECT k.doc_id, k.source, b.predicted_lang, k.n_tokens, k.ttr,
+       md5(k.text) AS text_md5
+FROM kept k JOIN (SELECT * FROM best WHERE rk = 1) b
+  ON k.doc_id = b.doc_id
+""".format(stop=_stop_values_sql())
+
+
 QUERIES = {
     "text_length_quantiles": QuerySpec(text_length_quantiles,
                                        TEXT_QUANTILES_SQL),
+    "curated_corpus": QuerySpec(curated_corpus, CURATED_SQL),
     "text_quality": QuerySpec(text_quality, TEXT_QUALITY_SQL),
     "lang_id": QuerySpec(lang_id, LANG_ID_SQL),
     "token_rollup": QuerySpec(token_rollup, TOKEN_ROLLUP_SQL),

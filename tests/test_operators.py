@@ -332,3 +332,18 @@ def test_url_canonicalization_rules(spark):
            for r in _with_canonical(df).collect()}
     for i, _, canon, host, domain in cases:
         assert got[i] == (canon, host, domain), (i, got[i])
+
+
+def test_curated_corpus_composition(spark, queries):
+    """Composition invariants: curated docs are canonical (no two share
+    a text hash), every doc passes the quality gate, and the language
+    gate never emits 'und'."""
+    rows = queries["curated_corpus"].fn(spark, SF).collect()
+    assert rows
+    hashes = [r["text_md5"] for r in rows]
+    assert len(hashes) == len(set(hashes))
+    for r in rows:
+        assert 10 <= r["n_tokens"] <= 1000 and r["ttr"] >= 0.1
+        assert r["predicted_lang"] in {"en", "es", "de", "fr"}
+    total = spark.read.parquet(SF + "/documents.parquet").count()
+    assert len(rows) <= total
