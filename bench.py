@@ -108,6 +108,7 @@ def bench_extract(spark, copies: int):
 # operator queries timed at the SF dir (forced with a count)
 BENCH_QUERIES = (
     "extract_html_roundtrip",
+    "extract_pdf_fonts",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_minhash_clusters",

@@ -364,3 +364,28 @@ def build_font_decoder(spec: dict):
 def latin1_decoder(data: bytes) -> str:
     """Fallback when no font has been selected: total, reversible."""
     return data.decode("latin-1")
+
+
+def font_census_line(name: str, font: dict, enc, has_tounicode: bool) -> str:
+    """Canonical census line for one font resource entry. SHARED between
+    the kernel (textextract.fonts_census) and the reference-driven oracle
+    (tools/make_oracle.oracle_fonts_census): both parser stacks resolve
+    their own objects, then format through this one function, so the
+    fonts gate compares resource-tree traversal, not string formatting.
+
+    ``enc`` must already be resolved by the caller: a name str, a dict,
+    or None/absent."""
+    subtype = font.get("Subtype")
+    base = font.get("BaseFont")
+    if isinstance(enc, str):
+        enc_kind = enc
+    elif isinstance(enc, dict):
+        enc_kind = "<dict>"
+    else:
+        enc_kind = ""
+    return "|".join((
+        name,
+        subtype if isinstance(subtype, str) else "",
+        base if isinstance(base, str) else "",
+        enc_kind,
+        "tounicode" if has_tounicode else ""))

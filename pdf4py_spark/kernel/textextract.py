@@ -232,6 +232,39 @@ def font_decoders(doc: DocumentParser, resources) -> dict:
     return out
 
 
+def fonts_census(doc: DocumentParser):
+    """(n_fonts, census_text): distinct canonical font-resource lines
+    across all pages (sorted, newline-joined). Line formatting is the
+    SHARED kernel.fonts.font_census_line, so the gated query compares
+    this parser's resource traversal against the reference parser's."""
+    from .fonts import font_census_line
+
+    lines = set()
+    for _page, resources in pages_with_resources(doc):
+        if isinstance(resources, Ref):
+            resources = doc.resolve(resources)
+        if not isinstance(resources, dict):
+            continue
+        fonts = resources.get("Font")
+        if isinstance(fonts, Ref):
+            fonts = doc.resolve(fonts)
+        if not isinstance(fonts, dict):
+            continue
+        for name, fref in fonts.items():
+            font = doc.resolve(fref) if isinstance(fref, Ref) else fref
+            if not isinstance(font, dict):
+                continue
+            enc = font.get("Encoding")
+            if isinstance(enc, Ref):
+                enc = doc.resolve(enc)
+            tu = font.get("ToUnicode")
+            if isinstance(tu, Ref):
+                tu = doc.resolve(tu)
+            lines.add(font_census_line(
+                name, font, enc, isinstance(tu, Stream)))
+    return len(lines), "\n".join(sorted(lines))
+
+
 def unicode_from_content_bytes(content: bytes, decoders: dict) -> str:
     """Interpret one decoded content stream tracking the text-font state
     (Tf selects, q/Q save/restore) and decode every shown string."""

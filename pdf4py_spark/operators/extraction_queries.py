@@ -145,6 +145,68 @@ WHERE parse_ok
 """.format(oracle=FIXTURE_ORACLE)
 
 
+def _fonts_census_batches(batches):
+    import pandas as pd
+
+    from ..kernel.parser import DocumentParser
+    from ..kernel.textextract import fonts_census
+
+    for pdf in batches:
+        out = {"url": [], "n_fonts": [], "census": []}
+        for url, payload, password, pw_bytes in zip(
+                pdf["url"], pdf["html"], pdf["password"],
+                pdf["password_is_bytes"]):
+            data = bytes(payload)
+            if not data.startswith(b"%PDF-"):
+                continue
+            pw = password if isinstance(password, str) else None
+            if pw is not None and pw_bytes:
+                pw = pw.encode("utf-8")
+            try:
+                doc = DocumentParser(data, password=pw)
+                n, census = fonts_census(doc)
+            except Exception:  # noqa: BLE001 - parse failure: no census
+                continue
+            out["url"].append(url)
+            out["n_fonts"].append(n)
+            out["census"].append(census)
+        yield pd.DataFrame(out)
+
+
+def extract_pdf_fonts(spark, sf_dir):
+    """Font-resource census parity gate: distinct canonical font lines
+    (resource name | Subtype | BaseFont | encoding kind | ToUnicode
+    presence) per document, walked by OUR parser, must hash-match the
+    same census walked by the REFERENCE parser (tools/make_oracle.py) —
+    both formatted by the one shared kernel.fonts.font_census_line, so
+    the gate compares resource-tree traversal across two parser stacks.
+
+    Compared on the reference-parseable set: our kernel additionally
+    opens the AESV3/R6-encrypted fixtures (0020/0021) that the reference
+    cannot parse at all (that capability is pinned by the crypto tests),
+    so those two docs have no reference census to compare against."""
+    from ..sources.pages import passwords_df
+
+    pages = (spark.read.parquet(FIXTURE_PAGES)
+             .join(F.broadcast(passwords_df(spark)), "url", "left")
+             .select("url", "html", "password", "password_is_bytes")
+             .repartition(4, "url"))
+    census = pages.mapInPandas(
+        _fonts_census_batches,
+        schema="url string, n_fonts int, census string")
+    ref_ok = (spark.read.parquet(FIXTURE_ORACLE)
+              .where("parse_ok").select("url"))
+    return (census.join(F.broadcast(ref_ok), "url")
+            .select("url", "n_fonts", F.md5("census").alias("fonts_md5")))
+
+
+PDF_FONTS_SQL = """
+SELECT url, CAST(n_fonts AS INT) AS n_fonts, fonts_md5
+FROM read_parquet('{oracle}')
+WHERE parse_ok
+""".format(oracle=FIXTURE_ORACLE)
+
+
 def extract_quarantine_counts(spark, sf_dir):
     """Totality contract: every corpus row lands in exactly one status."""
     result = _fixture_extraction(spark)
@@ -225,6 +287,7 @@ QUERIES = {
                                       PDF_TEXT_MD5_SQL),
     "extract_pdf_unicode_md5": QuerySpec(extract_pdf_unicode_md5,
                                          PDF_UNICODE_MD5_SQL),
+    "extract_pdf_fonts": QuerySpec(extract_pdf_fonts, PDF_FONTS_SQL),
     "extract_quarantine_counts": QuerySpec(extract_quarantine_counts,
                                            QUARANTINE_SQL),
 }

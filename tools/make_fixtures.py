@@ -43,7 +43,7 @@ def main():
     with open(os.path.join(GOLDEN_DIR, "manifest.json")) as fh:
         manifest = json.load(fh)
     urls, extracted, md5s, ok, n_objects, n_pages = [], [], [], [], [], []
-    uni_md5s = []
+    uni_md5s, n_fonts, fonts_md5s = [], [], []
     for url, entry in sorted(manifest.items()):
         urls.append(url)
         ok.append(entry["parse_ok"])
@@ -58,12 +58,16 @@ def main():
             uni_md5s.append(hashlib.md5(uni).hexdigest())
             n_objects.append(entry["n_objects"])
             n_pages.append(entry["n_pages"])
+            n_fonts.append(entry["n_fonts"])
+            fonts_md5s.append(entry["fonts_md5"])
         else:
             extracted.append(None)
             md5s.append(None)
             uni_md5s.append(None)
             n_objects.append(None)
             n_pages.append(None)
+            n_fonts.append(None)
+            fonts_md5s.append(None)
     oracle = pa.table({
         "url": pa.array(urls, pa.string()),
         "extracted": pa.array(extracted, pa.binary()),
@@ -72,6 +76,8 @@ def main():
         "parse_ok": pa.array(ok, pa.bool_()),
         "n_objects": pa.array(n_objects, pa.int32()),
         "n_pages": pa.array(n_pages, pa.int32()),
+        "n_fonts": pa.array(n_fonts, pa.int32()),
+        "fonts_md5": pa.array(fonts_md5s, pa.string()),
     })
     pq.write_table(oracle, os.path.join(FIXTURE_DIR, "oracle.parquet"))
     print("wrote %d pages rows, %d oracle rows -> %s"

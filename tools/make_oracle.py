@@ -258,6 +258,32 @@ def _pages_with_resources_ref(parser):
     return out
 
 
+def oracle_fonts_census(payload: bytes, password):
+    """(n_fonts, census_text) through the REFERENCE parser, formatted by
+    the SHARED kernel.fonts.font_census_line (the kernel twin is
+    pdf4py_spark.kernel.textextract.fonts_census)."""
+    from pdf4py_spark.kernel.fonts import font_census_line
+
+    parser = Parser(payload, password)
+    lines = set()
+    for _page, resources in _pages_with_resources_ref(parser):
+        resources = _rr(parser, resources)
+        if not isinstance(resources, dict):
+            continue
+        fonts = _rr(parser, resources.get("Font"))
+        if not isinstance(fonts, dict):
+            continue
+        for name, fref in fonts.items():
+            font = _rr(parser, fref)
+            if not isinstance(font, dict):
+                continue
+            enc = _rr(parser, font.get("Encoding"))
+            tu = _rr(parser, font.get("ToUnicode"))
+            lines.add(font_census_line(
+                name, font, enc, isinstance(tu, PDFStream)))
+    return len(lines), "\n".join(sorted(lines))
+
+
 def oracle_extract_unicode(payload: bytes, password) -> bytes:
     parser = Parser(payload, password)
     page_texts = []
@@ -290,12 +316,17 @@ def main():
             uname = "uni_" + name
             with open(os.path.join(GOLDEN_DIR, uname), "wb") as fh:
                 fh.write(uni)
+            n_fonts, census = oracle_fonts_census(
+                payload, password_for(url))
             entry = {
                 "parse_ok": True,
                 "bin": name,
                 "sha256": hashlib.sha256(extracted).hexdigest(),
                 "unicode_bin": uname,
                 "unicode_sha256": hashlib.sha256(uni).hexdigest(),
+                "n_fonts": n_fonts,
+                "fonts_md5": hashlib.md5(
+                    census.encode("utf-8")).hexdigest(),
                 "n_objects": n_objects,
                 "n_pages": n_pages,
                 "version": version,
