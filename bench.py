@@ -140,6 +140,7 @@ BENCH_QUERIES = (
     "media_png_decode",
     "url_canonicalize",
     "domain_rollup",
+    "corpus_split",
     "sessions_stream",
 )
 

@@ -174,7 +174,43 @@ FROM hosts GROUP BY 1
 """.format(raw_url=_RAW_URL_SQL)
 
 
+def corpus_split(spark, sf_dir):
+    """Deterministic train/val/test assignment + sample flag — the
+    reproducibility staple: bucket = first 16 bits of md5(doc_id) mod
+    1000, split 80/10/10, plus a 10% sample flag from the same bucket.
+    Content-addressed (hash of the id, not row position), so assignment
+    is stable under repartitioning, re-runs, and corpus growth — the
+    property rand()/monotonically_increasing_id cannot give. Pure
+    projection: zero shuffles at any scale."""
+    docs = table(spark, sf_dir, "documents")
+    bucket = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                                 1, 4), 16, 10)
+              .cast("int") % 1000)
+    return docs.select(
+        "doc_id", "source",
+        bucket.alias("bucket"),
+        F.when(bucket < 800, "train").when(bucket < 900, "val")
+        .otherwise("test").alias("split"),
+        (bucket < 100).alias("in_10pct_sample"))
+
+
+CORPUS_SPLIT_SQL = """
+WITH b AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+              AS INTEGER) % 1000 AS bucket
+  FROM documents
+)
+SELECT doc_id, source, bucket,
+       CASE WHEN bucket < 800 THEN 'train'
+            WHEN bucket < 900 THEN 'val' ELSE 'test' END AS split,
+       bucket < 100 AS in_10pct_sample
+FROM b
+"""
+
+
 QUERIES = {
     "url_canonicalize": QuerySpec(url_canonicalize, URL_CANON_SQL),
     "domain_rollup": QuerySpec(domain_rollup, DOMAIN_ROLLUP_SQL),
+    "corpus_split": QuerySpec(corpus_split, CORPUS_SPLIT_SQL),
 }
