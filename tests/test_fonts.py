@@ -180,3 +180,24 @@ def test_build_font_decoder_total_on_garbage():
         assert isinstance(out, str)
 
     check()
+
+
+def test_font_census_line_canonicalization():
+    """The shared formatter must be total over messy font dicts (missing
+    or non-name Subtype/BaseFont, absent/name/dict Encoding) — both
+    parser stacks feed it raw resolved objects."""
+    from pdf4py_spark.kernel.fonts import font_census_line
+
+    assert font_census_line(
+        "F1", {"Subtype": "Type1", "BaseFont": "Helvetica"},
+        "WinAnsiEncoding", False) == \
+        "F1|Type1|Helvetica|WinAnsiEncoding|"
+    assert font_census_line(
+        "F2", {"Subtype": "Type0", "BaseFont": "ABCDEF+NotoSans"},
+        "Identity-H", True) == \
+        "F2|Type0|ABCDEF+NotoSans|Identity-H|tounicode"
+    # dict encoding collapses to a marker; junk fields drop to empty
+    assert font_census_line(
+        "F3", {"Subtype": 42, "BaseFont": [1, 2]},
+        {"BaseEncoding": "MacRomanEncoding"}, False) == "F3|||<dict>|"
+    assert font_census_line("F4", {}, None, False) == "F4||||"
