@@ -115,6 +115,7 @@ BENCH_QUERIES = (
     "dedup_minhash_cc",
     "dedup_simhash",
     "dedup_ngram_jaccard",
+    "decontaminate",
     "ann_cosine_topk",
     "ann_bucketed_topk",
     "ann_lsh_topk",

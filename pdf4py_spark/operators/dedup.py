@@ -512,8 +512,85 @@ JOIN sizes sb ON sb.doc_id = id_b
 """.format(cap=MAX_TRIGRAM_DF)
 
 
+#: benchmark-contamination window (tokens); 8 is the common
+#: decontamination shingle (e.g. 13-gram char / 8-gram token variants)
+CONTAM_NGRAM = 8
+
+#: the held-out "benchmark" slice of the corpus
+CONTAM_BENCH_SOURCE = "src0"
+
+
+def decontaminate(spark, sf_dir):
+    """Benchmark decontamination — the pretraining hygiene op: flag every
+    training candidate sharing at least one 8-token shingle with the
+    held-out benchmark slice (source = src0). Shingles are hashed to
+    60-bit bigints before the join (8-byte shuffle keys, not strings);
+    the benchmark side is DISTINCT then broadcast (a benchmark is tiny
+    next to the corpus at any scale — at 100 TB it is still a
+    broadcastable few-GB hash set, which is exactly why this op stays
+    cheap). Output: contaminated doc_id, distinct hit count, shingle
+    count, contamination rate."""
+    return _contamination(_docs(spark, sf_dir))
+
+
+def _contamination(docs):
+    docs = docs.where("size(split(text, ' ')) >= %d" % CONTAM_NGRAM)
+    grams = (docs
+             .withColumn("toks", F.split("text", " "))
+             .select(
+                 "doc_id", "source",
+                 F.explode(F.expr(
+                     "array_distinct(transform("
+                     "  sequence(1, size(toks) - %d),"
+                     "  i -> array_join(slice(toks, i, %d), ' ')))"
+                     % (CONTAM_NGRAM - 1, CONTAM_NGRAM))).alias("g"))
+             .withColumn("gh", F.expr(
+                 "cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint)"))
+             .drop("g"))
+    bench = (grams.where(F.col("source") == CONTAM_BENCH_SOURCE)
+             .select("gh").distinct())
+    cand = grams.where(F.col("source") != CONTAM_BENCH_SOURCE)
+    sizes = cand.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    hits = (cand.join(F.broadcast(bench), "gh")
+            .groupBy("doc_id").agg(F.count("*").alias("n_hits")))
+    return (hits.join(sizes, "doc_id")
+            .select("doc_id", "n_hits", "n_grams",
+                    F.round(F.col("n_hits") / F.col("n_grams"), 4)
+                    .alias("contam_rate")))
+
+
+DECONTAMINATE_SQL = """
+WITH grams AS (
+  SELECT doc_id, source,
+         CAST('0x' || substring(md5(g), 1, 15) AS BIGINT) AS gh
+  FROM (
+    SELECT doc_id, source,
+           unnest(list_distinct(list_transform(
+             generate_series(1, len(toks) - {km1}),
+             i -> array_to_string(toks[i:i + {km1}], ' ')))) AS g
+    FROM (SELECT doc_id, source, string_split(text, ' ') AS toks
+          FROM documents
+          WHERE len(string_split(text, ' ')) >= {k}))
+),
+bench AS (
+  SELECT DISTINCT gh FROM grams WHERE source = '{bench}'
+),
+cand AS (SELECT * FROM grams WHERE source <> '{bench}'),
+sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM cand GROUP BY doc_id),
+hits AS (
+  SELECT doc_id, COUNT(*) AS n_hits
+  FROM cand JOIN bench USING (gh) GROUP BY doc_id
+)
+SELECT h.doc_id, h.n_hits, s.n_grams,
+       ROUND(h.n_hits / s.n_grams, 4) AS contam_rate
+FROM hits h JOIN sizes s ON h.doc_id = s.doc_id
+""".format(k=CONTAM_NGRAM, km1=CONTAM_NGRAM - 1,
+           bench=CONTAM_BENCH_SOURCE)
+
+
 QUERIES = {
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL),
+    "decontaminate": QuerySpec(decontaminate, DECONTAMINATE_SQL),
     "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, DEDUP_MINHASH_SQL),
     "dedup_minhash_clusters": QuerySpec(dedup_minhash_clusters,
                                         DEDUP_MINHASH_CLUSTERS_SQL),

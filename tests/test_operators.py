@@ -347,3 +347,24 @@ def test_curated_corpus_composition(spark, queries):
         assert r["predicted_lang"] in {"en", "es", "de", "fr"}
     total = spark.read.parquet(SF + "/documents.parquet").count()
     assert len(rows) <= total
+
+
+def test_decontaminate_flags_planted_leak(spark):
+    """A candidate containing an 8-token run of a benchmark doc must be
+    flagged with the right hit count and rate; a disjoint candidate must
+    not appear."""
+    from pdf4py_spark.operators.dedup import _contamination
+    bench_text = " ".join("b%d" % i for i in range(12))   # 5 shingles
+    leak_text = ("x y " + " ".join("b%d" % i for i in range(8))
+                 + " z w v u")                            # exactly 1 shared
+    clean_text = " ".join("c%d" % i for i in range(15))
+    docs = spark.createDataFrame(
+        [(1, "src0", bench_text), (2, "srcX", leak_text),
+         (3, "srcY", clean_text)],
+        "doc_id bigint, source string, text string")
+    rows = {r["doc_id"]: r for r in _contamination(docs).collect()}
+    assert set(rows) == {2}
+    r = rows[2]
+    # leak_text has 14 tokens -> 7 shingles, 1 of which is the benchmark run
+    assert r["n_grams"] == 7 and r["n_hits"] == 1
+    assert abs(r["contam_rate"] - round(1 / 7, 4)) < 1e-9
