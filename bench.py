@@ -123,6 +123,7 @@ BENCH_QUERIES = (
     "text_quality",
     "token_rollup",
     "fingerprint",
+    "winnow_fingerprints",
     "bm25_search",
     "curated_corpus",
     "pricing_summary",

@@ -284,6 +284,62 @@ GROUP BY source
 """
 
 
+#: winnowing parameters (Schleimer/Wilkerson/Aiken, SIGMOD'03): k-gram
+#: size and window width — guarantee: any shared run of
+#: k + w - 1 = 6 tokens produces at least one shared fingerprint
+WINNOW_K = 3
+WINNOW_W = 4
+
+
+def winnow_fingerprints(spark, sf_dir):
+    """Winnowing document fingerprints: hash every word trigram to a
+    60-bit bigint, then keep the MINIMUM hash of each w=4 sliding window
+    of consecutive trigram hashes (distinct per doc). The selected set
+    is position-robust — the MOSS guarantee: two documents sharing any
+    k+w-1 = 6-token run share a fingerprint — at ~1/w the volume of the
+    full shingle set. All array algebra is per-row Catalyst (transform /
+    slice / array_min); the only shuffle is the final distinct."""
+    return _winnow_fps(table(spark, sf_dir, "documents"))
+
+
+def _winnow_fps(docs):
+    docs = docs.where(
+        "size(split(text, ' ')) >= %d" % (WINNOW_K + WINNOW_W - 1))
+    hashed = (docs.withColumn("toks", F.split("text", " "))
+              .withColumn("hs", F.expr(
+                  "transform(sequence(1, size(toks) - %d), i -> "
+                  "cast(conv(substring(md5(array_join("
+                  "slice(toks, i, %d), ' ')), 1, 15), 16, 10) as bigint))"
+                  % (WINNOW_K - 1, WINNOW_K))))
+    return (hashed
+            .select("doc_id", F.explode(F.expr(
+                "array_distinct(transform(sequence(1, size(hs) - %d),"
+                " j -> array_min(slice(hs, j, %d))))"
+                % (WINNOW_W - 1, WINNOW_W))).alias("fp"))
+            .distinct())
+
+
+WINNOW_SQL = """
+WITH hashed AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(1, len(toks) - {km1}),
+           i -> CAST('0x' || substring(
+                  md5(array_to_string(toks[i:i + {km1}], ' ')), 1, 15)
+                AS BIGINT)) AS hs
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        WHERE len(string_split(text, ' ')) >= {kw})
+)
+SELECT DISTINCT doc_id, fp FROM (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, len(hs) - {wm1}),
+           j -> list_min(hs[j:j + {wm1}]))) AS fp
+  FROM hashed)
+""".format(km1=WINNOW_K - 1, kw=WINNOW_K + WINNOW_W - 1,
+           wm1=WINNOW_W - 1)
+
+
 def curated_corpus(spark, sf_dir):
     """The end-to-end curation pipeline composed from this engine's own
     operators — what a training-data team actually ships:
@@ -377,5 +433,6 @@ QUERIES = {
     "lang_id": QuerySpec(lang_id, LANG_ID_SQL),
     "token_rollup": QuerySpec(token_rollup, TOKEN_ROLLUP_SQL),
     "fingerprint": QuerySpec(fingerprint, FINGERPRINT_SQL),
+    "winnow_fingerprints": QuerySpec(winnow_fingerprints, WINNOW_SQL),
     "bm25_search": QuerySpec(bm25_search, BM25_SQL),
 }

@@ -368,3 +368,28 @@ def test_decontaminate_flags_planted_leak(spark):
     # leak_text has 14 tokens -> 7 shingles, 1 of which is the benchmark run
     assert r["n_grams"] == 7 and r["n_hits"] == 1
     assert abs(r["contam_rate"] - round(1 / 7, 4)) < 1e-9
+
+
+def test_winnowing_guarantee_shared_run_shares_fingerprint(spark, queries):
+    """The winnowing property (k=3, w=4): any two documents sharing a
+    k+w-1 = 6-token run share at least one fingerprint; fully disjoint
+    documents share none."""
+    import random
+
+    from pdf4py_spark.operators.textstats import _winnow_fps
+
+    rng = random.Random(11)
+    shared = ["run%d" % i for i in range(6)]
+    mk = lambda p, n: ["%s%d" % (p, rng.randint(0, 9999))  # noqa: E731
+                       for _ in range(n)]
+    doc_a = " ".join(mk("a", 9) + shared + mk("a", 7))
+    doc_b = " ".join(mk("b", 5) + shared + mk("b", 11))
+    doc_c = " ".join(mk("c", 20))
+    docs = spark.createDataFrame(
+        [(1, doc_a), (2, doc_b), (3, doc_c)], "doc_id bigint, text string")
+    fps = _winnow_fps(docs)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "shared 6-token run must share a fp"
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
