@@ -144,6 +144,7 @@ BENCH_QUERIES = (
     "domain_rollup",
     "corpus_split",
     "sessions_stream",
+    "dedup_stream",
 )
 
 

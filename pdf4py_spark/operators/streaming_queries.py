@@ -171,8 +171,71 @@ WHERE session_seq < last_seq
 """
 
 
+def dedup_stream(spark, sf_dir):
+    """Streaming exact dedup with BOUNDED state — the crawl-ingest shape
+    of dedup_exact: the corpus (originals + the injected doc_id+1000000
+    duplicates, each pair sharing one synthetic event time) is replayed
+    as an event-time-ordered file stream through
+    dropDuplicatesWithinWatermark(text_hash), so a key's state is
+    EVICTED once the watermark passes its event time + 30 minutes
+    instead of growing with corpus size.
+
+    The gate checks exactly-once emission, not just the distinct set:
+    the sink must contain each content hash exactly once (a key
+    re-emitted after premature eviction, or a duplicate that slipped
+    through, both break the row-level hash compare). Exactness holds
+    because replay order is ascending in event time and each duplicate
+    pair is co-timed — a pair always meets inside the watermark window."""
+    base = os.path.join(STREAM_TMP, uuid.uuid4().hex[:12])
+    src, out = os.path.join(base, "in"), os.path.join(base, "out")
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        docs = (spark.read
+                .parquet(os.path.join(sf_dir, "documents.parquet"))
+                .select("doc_id", "text"))
+        dupes = docs.select(
+            (F.col("doc_id") + F.lit(1000000)).alias("doc_id"), "text")
+        # co-timed pairs: 1000000 % 100 == 0, so doc_id and its dupe get
+        # the same synthetic minute slot
+        both = (docs.unionAll(dupes)
+                .withColumn("ts", F.expr(
+                    "timestampadd(MINUTE, cast(doc_id % 100 as int), "
+                    "TIMESTAMP '2024-01-01 00:00:00')")))
+        both.repartitionByRange(4, "ts").write.parquet(src)
+        parts = sorted(f for f in os.listdir(src)
+                       if f.startswith("part-") and f.endswith(".parquet"))
+        for i, name in enumerate(parts):
+            os.utime(os.path.join(src, name),
+                     (1_000_000 + i * 10, 1_000_000 + i * 10))
+        stream = (spark.readStream
+                  .schema("doc_id bigint, text string, ts timestamp")
+                  .option("maxFilesPerTrigger", 1).parquet(src)
+                  .withColumn("text_hash", F.md5("text"))
+                  .withWatermark("ts", "30 minutes")
+                  .dropDuplicatesWithinWatermark(["text_hash"]))
+        q = (stream.select("text_hash")
+             .writeStream.outputMode("append").format("parquet")
+             .option("checkpointLocation", os.path.join(out, "_chk"))
+             .option("path", os.path.join(out, "hashes"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+    return spark.read.parquet(os.path.join(out, "hashes"))
+
+
+DEDUP_STREAM_SQL = """
+SELECT DISTINCT md5(text) AS text_hash FROM documents
+"""
+
+
 QUERIES = {
     "events_hourly_stream": QuerySpec(events_hourly_stream,
                                       EVENTS_HOURLY_STREAM_SQL),
     "sessions_stream": QuerySpec(sessions_stream, SESSIONS_STREAM_SQL),
+    "dedup_stream": QuerySpec(dedup_stream, DEDUP_STREAM_SQL),
 }

@@ -122,3 +122,49 @@ def test_stateful_gate_semantics_and_timeout_boundary(spark, tmp_path):
         (102, base + 300, 1),    # timeout
         # u103 (open at max ts) and u104 (deadline == watermark) withheld
     ]
+
+
+def test_dedup_stream_watermark_semantics(spark, tmp_path):
+    """dropDuplicatesWithinWatermark evidence: co-timed duplicates
+    collapse to one row; a duplicate arriving AFTER the watermark passed
+    its event time is late data and is dropped (not re-emitted), so the
+    sink stays exactly-once even though the key's state was evicted."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    src, out = str(tmp_path / "din"), str(tmp_path / "dout")
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        rows = [
+            (1, "same-A", "2024-01-01 10:00:00"),   # file 0
+            (2, "same-A", "2024-01-01 10:00:00"),   # file 0 (co-timed dup)
+            (3, "only-B", "2024-01-01 10:05:00"),   # file 0
+            (4, "only-C", "2024-01-01 14:00:00"),   # file 1: wm -> 13:30
+            (5, "same-A", "2024-01-01 10:00:00"),   # file 2: late dup
+            (6, "only-D", "2024-01-01 15:00:00"),   # file 2
+        ]
+        df = (spark.createDataFrame(
+            rows, "doc_id bigint, text string, ts_s string")
+            .withColumn("ts", F.col("ts_s").cast("timestamp"))
+            .select("doc_id", "text", "ts"))
+        _write_ordered_files(spark, df, src, [
+            "doc_id <= 3", "doc_id = 4", "doc_id >= 5"])
+        stream = (spark.readStream
+                  .schema("doc_id bigint, text string, ts timestamp")
+                  .option("maxFilesPerTrigger", 1).parquet(src)
+                  .withColumn("text_hash", F.md5("text"))
+                  .withWatermark("ts", "30 minutes")
+                  .dropDuplicatesWithinWatermark(["text_hash"]))
+        q = (stream.select("text", "text_hash")
+             .writeStream.outputMode("append").format("parquet")
+             .option("checkpointLocation", _os.path.join(out, "_chk"))
+             .option("path", _os.path.join(out, "hashes"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        got = sorted(r["text"] for r in spark.read.parquet(
+            _os.path.join(out, "hashes")).collect())
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+    assert got == ["only-B", "only-C", "only-D", "same-A"], got
