@@ -122,6 +122,7 @@ BENCH_QUERIES = (
     "lang_id",
     "text_quality",
     "token_rollup",
+    "token_count_bpe",
     "fingerprint",
     "winnow_fingerprints",
     "bm25_search",

@@ -284,6 +284,40 @@ GROUP BY source
 """
 
 
+#: BPE-ish pre-tokenizer (RE2-safe subset of the GPT-2 pattern — letter
+#: runs, single digits, single punctuation; no lookahead so Spark's Java
+#: regex and DuckDB's RE2 agree match-for-match)
+BPE_PATTERN = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+
+
+def token_count_bpe(spark, sf_dir):
+    """Token accounting under a BPE-style pre-tokenizer vs whitespace:
+    the fertility estimate (pieces per word) every LLM data budget
+    needs. Pure regexp_count projection + nothing else — zero shuffles;
+    the regex is the lookahead-free subset both engines execute
+    identically (validated piece-for-piece)."""
+    docs = table(spark, sf_dir, "documents")
+    n_ws = F.size(F.split("text", " ")).cast("bigint")
+    n_bpe = F.expr(
+        "cast(regexp_count(text, '%s') as bigint)" % BPE_PATTERN)
+    return docs.select(
+        "doc_id",
+        n_ws.alias("n_tokens_ws"),
+        n_bpe.alias("n_pieces_bpe"),
+        F.round(n_bpe / n_ws, 4).alias("pieces_per_word"))
+
+
+TOKEN_BPE_SQL = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens_ws,
+       CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT)
+         AS n_pieces_bpe,
+       ROUND(len(regexp_extract_all(text, '{pat}')) /
+             len(string_split(text, ' ')), 4) AS pieces_per_word
+FROM documents
+""".format(pat=BPE_PATTERN)
+
+
 #: winnowing parameters (Schleimer/Wilkerson/Aiken, SIGMOD'03): k-gram
 #: size and window width — guarantee: any shared run of
 #: k + w - 1 = 6 tokens produces at least one shared fingerprint
@@ -434,5 +468,6 @@ QUERIES = {
     "token_rollup": QuerySpec(token_rollup, TOKEN_ROLLUP_SQL),
     "fingerprint": QuerySpec(fingerprint, FINGERPRINT_SQL),
     "winnow_fingerprints": QuerySpec(winnow_fingerprints, WINNOW_SQL),
+    "token_count_bpe": QuerySpec(token_count_bpe, TOKEN_BPE_SQL),
     "bm25_search": QuerySpec(bm25_search, BM25_SQL),
 }
