@@ -534,7 +534,13 @@ def decontaminate(spark, sf_dir):
 
 
 def _contamination(docs):
+    from pyspark import StorageLevel
+
     docs = docs.where("size(split(text, ' ')) >= %d" % CONTAM_NGRAM)
+    # ONE persisted shingle relation shared by the benchmark-distinct,
+    # the candidate sizes, and the hit join (the same discipline as
+    # dedup_ngram_jaccard's trigram relation — without it the tokenize/
+    # shingle/hash pass runs three times)
     grams = (docs
              .withColumn("toks", F.split("text", " "))
              .select(
@@ -546,7 +552,8 @@ def _contamination(docs):
                      % (CONTAM_NGRAM - 1, CONTAM_NGRAM))).alias("g"))
              .withColumn("gh", F.expr(
                  "cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint)"))
-             .drop("g"))
+             .drop("g")
+             .persist(StorageLevel.MEMORY_AND_DISK))
     bench = (grams.where(F.col("source") == CONTAM_BENCH_SOURCE)
              .select("gh").distinct())
     cand = grams.where(F.col("source") != CONTAM_BENCH_SOURCE)

@@ -137,7 +137,7 @@ def events_hourly(spark, sf_dir):
         F.window("ts", "1 hour")["start"].alias("hs"), "event_type")
         .agg(F.count("*").alias("n_events"),
              F.round(F.sum(F.col("value").cast("decimal(18,4)"))
-                     .cast("double"), 2).alias("value_sum"),
+                     .cast("double"), 4).alias("value_sum"),
              F.countDistinct("user_id").alias("n_users"))
         .select(
             F.expr("timestampdiff(MICROSECOND, "
@@ -149,7 +149,7 @@ def events_hourly(spark, sf_dir):
 EVENTS_HOURLY_SQL = """
 SELECT epoch_us(date_trunc('hour', ts)) AS hour_start_us, event_type,
        COUNT(*) AS n_events,
-       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2)
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4)
          AS value_sum,
        COUNT(DISTINCT user_id) AS n_users
 FROM events GROUP BY 1, 2
@@ -177,7 +177,7 @@ def sessionize(spark, sf_dir):
                  .alias("session_start_us"),
                  F.round(F.expr(
                      "timestampdiff(MICROSECOND, min(ts), max(ts))")
-                     / 1000000.0, 3).alias("duration_sec")))
+                     / 1000000.0, 6).alias("duration_sec")))
 
 
 SESSIONIZE_SQL = """
@@ -198,7 +198,7 @@ sessions AS (
 )
 SELECT user_id, session_seq, COUNT(*) AS n_events,
        epoch_us(MIN(ts)) AS session_start_us,
-       ROUND(date_diff('microsecond', MIN(ts), MAX(ts)) / 1000000.0, 3)
+       ROUND(date_diff('microsecond', MIN(ts), MAX(ts)) / 1000000.0, 6)
          AS duration_sec
 FROM sessions GROUP BY user_id, session_seq
 """
@@ -216,7 +216,7 @@ def sessionize_native(spark, sf_dir):
         "user_id", F.session_window("ts", "30 minutes").alias("sw"))
         .agg(F.count("*").alias("n_events"),
              F.round(F.sum(F.col("value").cast("decimal(18,4)"))
-                     .cast("double"), 2).alias("value_sum"),
+                     .cast("double"), 4).alias("value_sum"),
              F.expr("timestampdiff(MICROSECOND, "
                     "TIMESTAMP_NTZ '1970-01-01 00:00:00', min(ts))")
              .alias("session_start_us"))
@@ -240,7 +240,7 @@ sessions AS (
 )
 SELECT user_id, epoch_us(MIN(ts)) AS session_start_us,
        COUNT(*) AS n_events,
-       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2)
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4)
          AS value_sum
 FROM sessions GROUP BY user_id, session_seq
 """
@@ -357,7 +357,7 @@ def events_sliding_3h(spark, sf_dir):
         F.window("ts", "3 hours", "1 hour")["start"].alias("ws"))
         .agg(F.count("*").alias("n_events"),
              F.round(F.sum(F.col("value").cast("decimal(18,4)"))
-                     .cast("double"), 2).alias("value_sum"))
+                     .cast("double"), 4).alias("value_sum"))
         .select(
             F.expr("timestampdiff(MICROSECOND, "
                    "TIMESTAMP_NTZ '1970-01-01 00:00:00', ws)")
@@ -369,7 +369,7 @@ EVENTS_SLIDING_SQL = """
 SELECT epoch_us(date_trunc('hour', ts) - INTERVAL (k) HOUR)
          AS window_start_us,
        COUNT(*) AS n_events,
-       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2)
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4)
          AS value_sum
 FROM events, (SELECT unnest(generate_series(0, 2)) AS k) g
 GROUP BY 1
@@ -467,7 +467,10 @@ def market_share(spark, sf_dir):
             .withColumn("yrev", F.sum("nrev").over(year_w))
             .select(F.col("o_year").cast("int").alias("o_year"),
                     "supp_nation",
-                    F.round(F.col("nrev").cast("double"), 2)
+                    # round AT the sum's intrinsic scale (4): no value
+                    # changes, so the Spark-vs-DuckDB double HALF_UP
+                    # tie divergence (1.005 -> 1.01 vs 1.00) cannot fire
+                    F.round(F.col("nrev").cast("double"), 4)
                     .alias("nation_revenue"),
                     F.round(F.col("nrev").cast("double")
                             / F.col("yrev").cast("double"), 6)
@@ -491,7 +494,7 @@ by_nation AS (
   SELECT o_year, supp_nation, SUM(r) AS nrev FROM rev GROUP BY 1, 2
 )
 SELECT CAST(o_year AS INT) AS o_year, supp_nation,
-       ROUND(CAST(nrev AS DOUBLE), 2) AS nation_revenue,
+       ROUND(CAST(nrev AS DOUBLE), 4) AS nation_revenue,
        ROUND(CAST(nrev AS DOUBLE) /
              CAST(SUM(nrev) OVER (PARTITION BY o_year) AS DOUBLE), 6)
          AS mkt_share
@@ -514,12 +517,12 @@ def latest_event_per_user(spark, sf_dir):
                            "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
                     .alias("ts_us"),
                     F.round(F.col("value").cast("decimal(18,4)")
-                            .cast("double"), 3).alias("value")))
+                            .cast("double"), 4).alias("value")))
 
 
 LATEST_EVENT_SQL = """
 SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
-       ROUND(CAST(CAST(value AS DECIMAL(18,4)) AS DOUBLE), 3) AS value
+       ROUND(CAST(CAST(value AS DECIMAL(18,4)) AS DOUBLE), 4) AS value
 FROM events
 QUALIFY row_number() OVER (PARTITION BY user_id, event_type
                            ORDER BY ts DESC, event_id DESC) = 1

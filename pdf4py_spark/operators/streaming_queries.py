@@ -37,6 +37,46 @@ WATERMARK_DELAY = "2 hours"
 STREAM_TMP = "/tmp/pdf4py_spark_stream"
 
 
+def _replay_ordered(spark, df, order_col, src, n_files=4):
+    """Write ``df`` as ``n_files`` range-partitioned parquet files on
+    ``order_col`` with ascending mtimes, so the file stream source
+    (mtime-ordered listing) replays the data in ``order_col`` order
+    across micro-batches — the determinism contract every exact
+    streaming oracle here relies on."""
+    df.repartitionByRange(n_files, order_col).write.parquet(src)
+    parts = sorted(f for f in os.listdir(src)
+                   if f.startswith("part-") and f.endswith(".parquet"))
+    for i, name in enumerate(parts):
+        os.utime(os.path.join(src, name),
+                 (1_000_000 + i * 10, 1_000_000 + i * 10))
+
+
+class _drain_conf:
+    """Pin UTC + a narrow shuffle width for the duration of a drain
+    (micro-batch fixed costs scale with partitions-per-batch; the gated
+    results are invariant to both knobs), then restore. Also removes the
+    replayed input copy afterwards so repeated bench runs don't grow
+    /tmp by a corpus copy per invocation (sinks stay — the returned
+    DataFrame reads from them)."""
+
+    def __init__(self, spark, src):
+        self.spark, self.src = spark, src
+
+    def __enter__(self):
+        self.tz = self.spark.conf.get("spark.sql.session.timeZone")
+        self.sp = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.session.timeZone", "UTC")
+        self.spark.conf.set("spark.sql.shuffle.partitions", "8")
+        return self
+
+    def __exit__(self, *exc):
+        import shutil
+        self.spark.conf.set("spark.sql.session.timeZone", self.tz)
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.sp)
+        shutil.rmtree(self.src, ignore_errors=True)
+        return False
+
+
 def events_hourly_stream(spark, sf_dir):
     from ..streaming.windowed import EVENTS_SCHEMA
 
@@ -55,7 +95,7 @@ def events_hourly_stream(spark, sf_dir):
                .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
                .agg(F.count("*").alias("n_events"),
                     F.round(F.sum(F.col("value").cast("decimal(18,4)"))
-                            .cast("double"), 2).alias("value_sum"))
+                            .cast("double"), 4).alias("value_sum"))
                .select(F.col("w.start").alias("hs"),
                        "event_type", "n_events", "value_sum"))
         q = (agg.writeStream.outputMode("append").format("parquet")
@@ -75,7 +115,7 @@ def events_hourly_stream(spark, sf_dir):
 EVENTS_HOURLY_STREAM_SQL = """
 SELECT epoch_us(date_trunc('hour', ts)) AS hour_start_us, event_type,
        COUNT(*) AS n_events,
-       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2)
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4)
          AS value_sum
 FROM events
 WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
@@ -108,31 +148,14 @@ def sessions_stream(spark, sf_dir):
 
     base = os.path.join(STREAM_TMP, uuid.uuid4().hex[:12])
     src, out = os.path.join(base, "in"), os.path.join(base, "out")
-    old_tz = spark.conf.get("spark.sql.session.timeZone")
-    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    # micro-batch fixed costs dominate this drain (state store opens one
-    # partition per shuffle partition PER BATCH); the result is invariant
-    # to both knobs — only ascending replay order and the final watermark
-    # matter — so run the drain narrow. At cluster scale these revert to
-    # the site defaults and the per-batch cost amortizes over volume.
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        ev = (spark.read.parquet(os.path.join(sf_dir, "events.parquet")))
-        (ev.withColumn("us", F.unix_micros(F.col("ts").cast("timestamp")))
-           .repartitionByRange(4, "us").drop("us")
-           .write.parquet(src))
-        # part-file names sort in range order; stamp ascending mtimes so
-        # the stream replays oldest-events-first
-        parts = sorted(f for f in os.listdir(src)
-                       if f.startswith("part-") and f.endswith(".parquet"))
-        for i, name in enumerate(parts):
-            path = os.path.join(src, name)
-            os.utime(path, (1_000_000 + i * 10, 1_000_000 + i * 10))
+    with _drain_conf(spark, src):
+        ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        _replay_ordered(
+            spark,
+            ev.withColumn("us",
+                          F.unix_micros(F.col("ts").cast("timestamp"))),
+            "us", src)
         sessionize_stream(spark, src, out)
-    finally:
-        spark.conf.set("spark.sql.session.timeZone", old_tz)
-        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
     return (spark.read.parquet(os.path.join(out, "sessions"))
             .select("user_id", "session_start_us", "session_end_us",
                     F.col("n_events").cast("bigint").alias("n_events")))
@@ -183,33 +206,27 @@ def dedup_stream(spark, sf_dir):
     The gate checks exactly-once emission, not just the distinct set:
     the sink must contain each content hash exactly once (a key
     re-emitted after premature eviction, or a duplicate that slipped
-    through, both break the row-level hash compare). Exactness holds
-    because replay order is ascending in event time and each duplicate
-    pair is co-timed — a pair always meets inside the watermark window."""
+    through, both break the row-level hash compare). Exactness holds by
+    CONSTRUCTION for every duplicate — natural or injected: the
+    synthetic event time is derived from the CONTENT HASH, so equal
+    texts are always co-timed and meet inside the watermark window
+    (review finding: a doc_id-derived slot only co-times the injected
+    pairs, and a natural duplicate landing > horizon apart would
+    re-emit after eviction)."""
     base = os.path.join(STREAM_TMP, uuid.uuid4().hex[:12])
     src, out = os.path.join(base, "in"), os.path.join(base, "out")
-    old_tz = spark.conf.get("spark.sql.session.timeZone")
-    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    with _drain_conf(spark, src):
         docs = (spark.read
                 .parquet(os.path.join(sf_dir, "documents.parquet"))
                 .select("doc_id", "text"))
         dupes = docs.select(
             (F.col("doc_id") + F.lit(1000000)).alias("doc_id"), "text")
-        # co-timed pairs: 1000000 % 100 == 0, so doc_id and its dupe get
-        # the same synthetic minute slot
         both = (docs.unionAll(dupes)
                 .withColumn("ts", F.expr(
-                    "timestampadd(MINUTE, cast(doc_id % 100 as int), "
+                    "timestampadd(MINUTE, cast(conv(substring(md5(text),"
+                    " 1, 4), 16, 10) as int) % 100, "
                     "TIMESTAMP '2024-01-01 00:00:00')")))
-        both.repartitionByRange(4, "ts").write.parquet(src)
-        parts = sorted(f for f in os.listdir(src)
-                       if f.startswith("part-") and f.endswith(".parquet"))
-        for i, name in enumerate(parts):
-            os.utime(os.path.join(src, name),
-                     (1_000_000 + i * 10, 1_000_000 + i * 10))
+        _replay_ordered(spark, both, "ts", src)
         stream = (spark.readStream
                   .schema("doc_id bigint, text string, ts timestamp")
                   .option("maxFilesPerTrigger", 1).parquet(src)
@@ -222,9 +239,6 @@ def dedup_stream(spark, sf_dir):
              .option("path", os.path.join(out, "hashes"))
              .trigger(availableNow=True).start())
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.session.timeZone", old_tz)
-        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
     return spark.read.parquet(os.path.join(out, "hashes"))
 
 

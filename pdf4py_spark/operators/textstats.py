@@ -400,8 +400,12 @@ def curated_corpus(spark, sf_dir):
         F.size(toks).cast("bigint").alias("n_tokens"),
         F.round(F.size(F.array_distinct(toks)) / F.size(toks), 4)
         .alias("ttr"))
-    kept = feats.where("n_tokens >= 10 AND n_tokens <= 1000 "
-                       "AND ttr >= 0.1")
+    # persisted: `kept` feeds both the stopword explode and the final
+    # join — without it the md5-window dedup shuffle runs twice
+    from pyspark import StorageLevel
+    kept = (feats.where("n_tokens >= 10 AND n_tokens <= 1000 "
+                        "AND ttr >= 0.1")
+            .persist(StorageLevel.MEMORY_AND_DISK))
     stop_rows = [(lang, w) for lang, ws in sorted(STOPWORDS.items())
                  for w in ws]
     stop = spark.createDataFrame(stop_rows, "cand_lang string, w string")

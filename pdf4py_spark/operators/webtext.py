@@ -64,7 +64,11 @@ def _with_canonical(df):
     path = F.regexp_extract(
         "url", r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
     path = F.when(path == "", F.lit("/")).otherwise(path)
-    query = F.regexp_extract("url", r"\?([^#]*)", 1)
+    # strip the fragment FIRST so a '?' inside the fragment can never be
+    # mistaken for a query separator (review finding: '/x#f?b=1' must
+    # canonicalize to '/x', not '/x?b=1')
+    pre_frag = F.regexp_replace("url", r"#.*$", "")
+    query = F.regexp_extract(pre_frag, r"\?([^#]*)", 1)
     qnorm = F.when(query == "", F.lit("")).otherwise(
         F.concat(F.lit("?"),
                  F.array_join(F.array_sort(F.split(query, "&")), "&")))
@@ -112,7 +116,8 @@ parts AS (
                '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS auth,
          regexp_extract(url,
                '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
-         regexp_extract(url, '\\?([^#]*)', 1) AS query0
+         regexp_extract(regexp_replace(url, '#.*$', ''),
+               '\\?([^#]*)', 1) AS query0
   FROM raw
 ),
 norm AS (

@@ -325,6 +325,8 @@ def test_url_canonicalization_rules(spark):
         (5, "Http://UP.dev", "http://up.dev/", "up.dev", "up.dev"),
         (6, "http://s.com?b=2&a=10&a=1#x", "http://s.com/?a=1&a=10&b=2",
          "s.com", "s.com"),  # empty path -> '/', bytewise param sort
+        (7, "https://a.com/x#f?b=1", "https://a.com/x", "a.com",
+         "a.com"),  # '?' inside the fragment is NOT a query separator
     ]
     df = spark.createDataFrame([(i, u) for i, u, *_ in cases],
                                "doc_id bigint, url string")

@@ -86,7 +86,7 @@ def test_idat_split_across_chunks():
     px = bytes(range(12))
     whole = encode_png(px, 4, 3, 0)
     # re-pack: split the single IDAT into 3 chunks
-    chunks = list_chunks = []
+    chunks = []
     pos = len(PNG_SIGNATURE)
     idat = b""
     while pos < len(whole):
@@ -96,7 +96,7 @@ def test_idat_split_across_chunks():
         if ctype == b"IDAT":
             idat = payload
         else:
-            list_chunks.append((ctype, payload))
+            chunks.append((ctype, payload))
         pos += 12 + ln
     third = max(1, len(idat) // 3)
     repacked = PNG_SIGNATURE + _chunk(b"IHDR", chunks[0][1])
