@@ -9,6 +9,14 @@ Design rules (100 TB discipline):
 * built-in expressions only in hot paths — no Python UDFs anywhere here
 * every aggregate/computed column aliased identically in Spark and SQL
 * floats rounded (or computed in DECIMAL) so both engines hash identically
+* ROUND discipline: never round a double BELOW the value's intrinsic
+  decimal scale. Spark's round() rounds the shortest decimal repr
+  HALF_UP while DuckDB rounds the binary double, so tie values
+  (…xx50 at the cut) diverge (1.005 -> 1.01 vs 1.00). Rounding AT the
+  intrinsic scale (e.g. a DECIMAL(18,4) sum at 4, a microsecond ratio
+  at 6) makes the round the identity on both engines. Quotients of
+  small integers (ratios with denominator <= ~100) are safe at scale 4
+  because a 5-decimal tie needs a 2^a*5^b denominator > 100.
 * joins that can broadcast are broadcast; self-joins are bounded by LSH
   bands / bucket keys, never naive cross products
 """
