@@ -44,6 +44,20 @@ _STRUCT_KEYWORDS = (b"endobj", b"obj", b"trailer", b"xref", b"startxref",
 _HEXDIGITS = frozenset(b"0123456789abcdefABCDEF")
 _DIGITS = frozenset(b"0123456789")
 
+#: first-byte dispatch for _scan_word: most word tokens in content
+#: streams are operators (Tj, TD, rg, ...) that match NO literal, so
+#: probing all 12 candidates per token dominated the tokenizer profile
+#: (21M startswith calls over the corpus, ~12% of kernel wall).
+#: Bucketing by first byte keeps the EXACT global probe order (all value
+#: literals before any struct keyword — the longest-match contract)
+#: while typical operators hit an empty bucket and probe nothing.
+_WORD_CANDIDATES: dict = {}
+for _lit in _VALUE_LITERALS:
+    _WORD_CANDIDATES.setdefault(_lit[0], []).append((_lit, False))
+for _kw in _STRUCT_KEYWORDS:
+    _WORD_CANDIDATES.setdefault(_kw[0], []).append((_kw, True))
+_EMPTY_BUCKET: tuple = ()
+
 
 def _is_regular(c: int) -> bool:
     return 0x21 <= c <= 0x7E and c not in DELIMITERS
@@ -177,9 +191,11 @@ class Tokenizer:
 
     def _scan_word(self, c: int):
         buf, i = self.buf, self.pos
-        for lit in _VALUE_LITERALS:
+        for lit, is_struct in _WORD_CANDIDATES.get(c, _EMPTY_BUCKET):
             if buf.startswith(lit, i):
                 self.pos = i + len(lit)
+                if is_struct:
+                    return Keyword(lit)
                 if lit == b"true":
                     return True
                 if lit == b"false":
@@ -189,10 +205,6 @@ class Tokenizer:
                 if lit == b"null":
                     return None
                 return DictMark(lit)
-        for kw in _STRUCT_KEYWORDS:
-            if buf.startswith(kw, i):
-                self.pos = i + len(kw)
-                return Keyword(kw)
         if c in SINGLE_CHAR_TOKENS:
             self.pos = i + 1
             return Singleton(c)
