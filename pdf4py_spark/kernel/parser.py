@@ -39,10 +39,11 @@ class ObjectScanner:
     #: max container nesting before a quarantinable StructureError: deep
     #: enough for any real PDF, shallow enough that adversarial nesting can
     #: never approach the CPython C-stack (no global recursionlimit
-    #: mutation). Each level costs 2 Python frames (parse + _parse_inner),
-    #: so 200 levels ~ 400 frames — comfortable under the default 1000
-    #: even inside a pyspark worker with harness frames below (ADVICE r2:
-    #: 400 levels ~ 800 frames was margin-tight)
+    #: mutation). Each level costs ONE Python frame (the parse body is a
+    #: single function — the former parse/_parse_inner split paid a second
+    #: call per parsed object, ~6% of kernel wall), so 200 levels = ~200
+    #: frames — comfortable under the default 1000 even inside a pyspark
+    #: worker with harness frames below (ADVICE r2)
     MAX_NESTING = 200
 
     def __init__(self, payload, stream_resolver=None, content_mode=True):
@@ -63,17 +64,13 @@ class ObjectScanner:
     def __next__(self):
         return self.parse()
 
-    def _advance_or_end(self):
-        try:
-            self.tok.next_token()
-        except StopIteration:
-            self.done = True
-
     def parse(self, obj_id=None):
         """Parse one object starting at the current token.
 
         Invariant: on entry ``tok.cur`` is the first unconsumed token; on
-        return it is the token after the parsed object.
+        return it is the token after the parsed object. One function on
+        purpose: splitting the guarded wrapper from the body costs a
+        second Python call per parsed object (~5M calls per corpus pass).
         """
         if self.done:
             raise StopIteration
@@ -83,100 +80,116 @@ class ObjectScanner:
                 pos=self.tok.pos)
         self._depth += 1
         try:
-            return self._parse_inner(obj_id)
+            tok = self.tok
+            cur = tok.cur
+
+            if isinstance(cur, Singleton) and cur.value == 0x5B:  # [
+                tok.next_token()
+                items = []
+                while not (isinstance(tok.cur, Singleton) and tok.cur.value == 0x5D):
+                    items.append(self.parse(obj_id))
+                try:
+                    tok.next_token()
+                except StopIteration:
+                    self.done = True
+                return items
+
+            if isinstance(cur, DictMark) and cur.value == b"<<":
+                tok.next_token()
+                d = {}
+                while True:
+                    key = tok.cur
+                    if isinstance(key, DictMark) and key.value == b">>":
+                        break
+                    if not isinstance(key, str):
+                        raise StructureError(
+                            "dictionary key must be a name, got %r" % (key,))
+                    tok.next_token()
+                    d[key] = self.parse(obj_id)
+                try:
+                    tok.next_token()
+                except StopIteration:
+                    self.done = True
+                    return d
+                if not isinstance(tok.cur, StreamMark):
+                    return d
+                if self.stream_resolver is None:
+                    raise StructureError(
+                        "stream encountered but no stream resolver configured")
+                raw_reader = tok.cur.value
+                length, payload_fn = self.stream_resolver(d, raw_reader, obj_id)
+                closing = tok.jump(tok.pos + length)
+                if not (isinstance(closing, Keyword) and closing.value == b"endstream"):
+                    raise StructureError("'stream' without matching 'endstream'")
+                tok.next_token()  # unprotected, like the reference (parser.py:276)
+                return Stream(d, payload_fn)
+
+            if cur is None:
+                try:
+                    tok.next_token()
+                except StopIteration:
+                    self.done = True
+                return None
+
+            if isinstance(cur, (HexString, LiteralString, bool, float, str)):
+                try:
+                    tok.next_token()
+                except StopIteration:
+                    self.done = True
+                if (isinstance(cur, (HexString, LiteralString)) and obj_id is not None
+                        and self.security is not None):
+                    cur = type(cur)(self.security.decrypt_string(cur.value, obj_id))
+                return cur
+
+            if isinstance(cur, int):
+                first = cur
+                try:
+                    second = tok.next_token()
+                except StopIteration:
+                    self.done = True
+                    return first
+                if not isinstance(second, int):
+                    return first
+                try:
+                    third = tok.next_token()
+                except StopIteration:
+                    self.done = True
+                    return first
+                if isinstance(third, Operator) and third.value == "R":
+                    try:
+                        tok.next_token()
+                    except StopIteration:
+                        self.done = True
+                    return Ref(first, second)
+                if isinstance(third, Keyword) and third.value == b"obj":
+                    tok.next_token()  # unprotected (parser.py:325)
+                    inner = self.parse(obj_id)
+                    if not (isinstance(tok.cur, Keyword) and tok.cur.value == b"endobj"):
+                        raise StructureError("'obj' without matching 'endobj'")
+                    try:
+                        tok.next_token()
+                    except StopIteration:
+                        self.done = True
+                    return IndirectObject(first, second, inner)
+                # plain integer: return the third token to the stream
+                tok.push_back(second)
+                return first
+
+            if isinstance(cur, Operator) and self.content_mode:
+                try:
+                    tok.next_token()
+                except StopIteration:
+                    self.done = True
+                return cur
+
+            raise StructureError("unexpected token %r" % (cur,))
+
         except KernelError as exc:
             if exc.pos is None:  # stamp the failure offset once
                 exc.pos = self.tok.pos
             raise
         finally:
             self._depth -= 1
-
-    def _parse_inner(self, obj_id=None):
-        tok = self.tok
-        cur = tok.cur
-
-        if isinstance(cur, Singleton) and cur.value == 0x5B:  # [
-            tok.next_token()
-            items = []
-            while not (isinstance(tok.cur, Singleton) and tok.cur.value == 0x5D):
-                items.append(self.parse(obj_id))
-            self._advance_or_end()
-            return items
-
-        if isinstance(cur, DictMark) and cur.value == b"<<":
-            tok.next_token()
-            d = {}
-            while True:
-                key = tok.cur
-                if isinstance(key, DictMark) and key.value == b">>":
-                    break
-                if not isinstance(key, str):
-                    raise StructureError(
-                        "dictionary key must be a name, got %r" % (key,))
-                tok.next_token()
-                d[key] = self.parse(obj_id)
-            try:
-                tok.next_token()
-            except StopIteration:
-                self.done = True
-                return d
-            if not isinstance(tok.cur, StreamMark):
-                return d
-            if self.stream_resolver is None:
-                raise StructureError(
-                    "stream encountered but no stream resolver configured")
-            raw_reader = tok.cur.value
-            length, payload_fn = self.stream_resolver(d, raw_reader, obj_id)
-            closing = tok.jump(tok.pos + length)
-            if not (isinstance(closing, Keyword) and closing.value == b"endstream"):
-                raise StructureError("'stream' without matching 'endstream'")
-            tok.next_token()  # unprotected, like the reference (parser.py:276)
-            return Stream(d, payload_fn)
-
-        if cur is None:
-            self._advance_or_end()
-            return None
-
-        if isinstance(cur, (HexString, LiteralString, bool, float, str)):
-            self._advance_or_end()
-            if (isinstance(cur, (HexString, LiteralString)) and obj_id is not None
-                    and self.security is not None):
-                cur = type(cur)(self.security.decrypt_string(cur.value, obj_id))
-            return cur
-
-        if isinstance(cur, int):
-            first = cur
-            try:
-                second = tok.next_token()
-            except StopIteration:
-                self.done = True
-                return first
-            if not isinstance(second, int):
-                return first
-            try:
-                third = tok.next_token()
-            except StopIteration:
-                self.done = True
-                return first
-            if isinstance(third, Operator) and third.value == "R":
-                self._advance_or_end()
-                return Ref(first, second)
-            if isinstance(third, Keyword) and third.value == b"obj":
-                tok.next_token()  # unprotected (parser.py:325)
-                inner = self.parse(obj_id)
-                if not (isinstance(tok.cur, Keyword) and tok.cur.value == b"endobj"):
-                    raise StructureError("'obj' without matching 'endobj'")
-                self._advance_or_end()
-                return IndirectObject(first, second, inner)
-            # plain integer: return the third token to the stream
-            tok.push_back(second)
-            return first
-
-        if isinstance(cur, Operator) and self.content_mode:
-            self._advance_or_end()
-            return cur
-
-        raise StructureError("unexpected token %r" % (cur,))
 
 
 #: page-tree depth bound: real trees are balanced wide-fanout (depth ~
