@@ -82,8 +82,76 @@ class ObjectScanner:
         try:
             tok = self.tok
             cur = tok.cur
+            # exact-type dispatch ordered by content-stream frequency
+            # (numbers >> names/operators >> strings >> containers); the
+            # branch SET and each branch's behavior are identical to the
+            # former isinstance ladder — exact types are disjoint (bool
+            # is not int here, unlike isinstance), so order is free
+            t = cur.__class__
 
-            if isinstance(cur, Singleton) and cur.value == 0x5B:  # [
+            if t is int:
+                first = cur
+                try:
+                    second = tok.next_token()
+                except StopIteration:
+                    self.done = True
+                    return first
+                # isinstance, not exact type: bool passes here (and can
+                # become a Ref generation) exactly like the original
+                # ladder and the reference's lookahead
+                if not isinstance(second, int):
+                    return first
+                try:
+                    third = tok.next_token()
+                except StopIteration:
+                    self.done = True
+                    return first
+                if isinstance(third, Operator) and third.value == "R":
+                    try:
+                        tok.next_token()
+                    except StopIteration:
+                        self.done = True
+                    return Ref(first, second)
+                if isinstance(third, Keyword) and third.value == b"obj":
+                    tok.next_token()  # unprotected (parser.py:325)
+                    inner = self.parse(obj_id)
+                    if not (isinstance(tok.cur, Keyword) and tok.cur.value == b"endobj"):
+                        raise StructureError("'obj' without matching 'endobj'")
+                    try:
+                        tok.next_token()
+                    except StopIteration:
+                        self.done = True
+                    return IndirectObject(first, second, inner)
+                # plain integer: return the third token to the stream
+                tok.push_back(second)
+                return first
+
+            if t is float or t is str or t is bool:
+                try:
+                    tok.next_token()
+                except StopIteration:
+                    self.done = True
+                return cur
+
+            if t is Operator:
+                if self.content_mode:
+                    try:
+                        tok.next_token()
+                    except StopIteration:
+                        self.done = True
+                    return cur
+                raise StructureError("unexpected token %r" % (cur,))
+
+            if t is LiteralString or t is HexString:
+                try:
+                    tok.next_token()
+                except StopIteration:
+                    self.done = True
+                if obj_id is not None and self.security is not None:
+                    cur = t(self.security.decrypt_string(cur.value, obj_id))
+                return cur
+
+            if t is Singleton and cur.value == 0x5B:  # [
                 tok.next_token()
                 items = []
                 while not (isinstance(tok.cur, Singleton) and tok.cur.value == 0x5D):
@@ -94,7 +162,7 @@ class ObjectScanner:
                     self.done = True
                 return items
 
-            if isinstance(cur, DictMark) and cur.value == b"<<":
+            if t is DictMark and cur.value == b"<<":
                 tok.next_token()
                 d = {}
                 while True:
@@ -130,57 +198,6 @@ class ObjectScanner:
                 except StopIteration:
                     self.done = True
                 return None
-
-            if isinstance(cur, (HexString, LiteralString, bool, float, str)):
-                try:
-                    tok.next_token()
-                except StopIteration:
-                    self.done = True
-                if (isinstance(cur, (HexString, LiteralString)) and obj_id is not None
-                        and self.security is not None):
-                    cur = type(cur)(self.security.decrypt_string(cur.value, obj_id))
-                return cur
-
-            if isinstance(cur, int):
-                first = cur
-                try:
-                    second = tok.next_token()
-                except StopIteration:
-                    self.done = True
-                    return first
-                if not isinstance(second, int):
-                    return first
-                try:
-                    third = tok.next_token()
-                except StopIteration:
-                    self.done = True
-                    return first
-                if isinstance(third, Operator) and third.value == "R":
-                    try:
-                        tok.next_token()
-                    except StopIteration:
-                        self.done = True
-                    return Ref(first, second)
-                if isinstance(third, Keyword) and third.value == b"obj":
-                    tok.next_token()  # unprotected (parser.py:325)
-                    inner = self.parse(obj_id)
-                    if not (isinstance(tok.cur, Keyword) and tok.cur.value == b"endobj"):
-                        raise StructureError("'obj' without matching 'endobj'")
-                    try:
-                        tok.next_token()
-                    except StopIteration:
-                        self.done = True
-                    return IndirectObject(first, second, inner)
-                # plain integer: return the third token to the stream
-                tok.push_back(second)
-                return first
-
-            if isinstance(cur, Operator) and self.content_mode:
-                try:
-                    tok.next_token()
-                except StopIteration:
-                    self.done = True
-                return cur
 
             raise StructureError("unexpected token %r" % (cur,))
 
