@@ -138,7 +138,12 @@ class Tokenizer:
 
     # -- token scanning --------------------------------------------------------
 
-    def _skip_filler(self):
+    def next_token(self):
+        if self._pushback:
+            self.cur = self._pushback.pop()
+            return self.cur
+
+        # _skip_filler inlined (hot: once per token); semantics identical
         buf, n = self.buf, self.n
         i = self.pos
         while i < n:
@@ -156,15 +161,6 @@ class Tokenizer:
         self.pos = i
         if i >= n:
             raise StopIteration
-
-    def next_token(self):
-        if self._pushback:
-            self.cur = self._pushback.pop()
-            return self.cur
-
-        self._skip_filler()
-        buf = self.buf
-        i = self.pos
         c = buf[i]
 
         try:
