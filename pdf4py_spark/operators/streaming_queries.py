@@ -34,7 +34,11 @@ from . import QuerySpec
 #: (max event time - delay) passes their end
 WATERMARK_DELAY = "2 hours"
 
-STREAM_TMP = "/tmp/pdf4py_spark_stream"
+# tmpfs rather than the 121 MB/s virtio disk, same reasoning as the
+# shuffle dir: takes the slow-disk variance out of checkpoint/sink I/O
+# (A/B measured ~parity-to-slightly-better; the win is predictability).
+# Cluster analog: fast NVMe or object storage for checkpoints.
+STREAM_TMP = "/dev/shm/pdf4py_spark_stream"
 
 
 def _replay_ordered(spark, df, order_col, src, n_files=4):
@@ -80,7 +84,7 @@ class _drain_conf:
 def events_hourly_stream(spark, sf_dir):
     from ..streaming.windowed import EVENTS_SCHEMA
 
-    out = "/tmp/pdf4py_spark_stream/%s" % uuid.uuid4().hex[:12]
+    out = os.path.join(STREAM_TMP, uuid.uuid4().hex[:12])
     stream = (spark.readStream.schema(EVENTS_SCHEMA)
               .option("pathGlobFilter", "events.parquet")
               .parquet(sf_dir))
