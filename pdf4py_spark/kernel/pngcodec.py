@@ -163,13 +163,26 @@ def decode_png(data: bytes) -> dict:
                        % (bit_depth, color_type))
     bpp = _BPP[color_type]
     row = width * bpp
+    expected = (row + 1) * height
+    # Bounded inflate: a hostile PNG (zlib bomb, or huge declared
+    # dimensions) must not allocate unbounded memory on an executor.
+    # Decompress at most expected+1 bytes — one byte of slack detects
+    # "too long" without materializing the overflow.
     try:
-        raw = zlib.decompress(bytes(idat))
+        dobj = zlib.decompressobj()
+        raw = dobj.decompress(bytes(idat), expected + 1)
     except zlib.error as exc:
         raise PngError("IDAT inflate failed: %s" % exc) from exc
-    if len(raw) != (row + 1) * height:
+    if len(raw) > expected:
+        raise PngError("decompressed size exceeds expected %d" % expected)
+    if not dobj.eof:
+        # output fits but the deflate stream didn't terminate: either
+        # truncated input or more data pending beyond the cap
+        raise PngError("truncated or oversized IDAT stream "
+                       "(expected %d bytes)" % expected)
+    if len(raw) != expected:
         raise PngError("decompressed size %d != expected %d"
-                       % (len(raw), (row + 1) * height))
+                       % (len(raw), expected))
     view = memoryview(raw)
     out = bytearray()
     prev = bytes(row)

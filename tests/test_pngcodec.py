@@ -177,3 +177,35 @@ def test_unsupported_shapes_raise_typed():
            + _chunk(b"IEND", b""))
     with pytest.raises(PngError, match="decompressed size"):
         decode_png(bad)
+
+
+def test_zlib_bomb_bounded_inflate():
+    """ADVICE r3: a hostile PNG declaring small dimensions over a huge
+    deflate stream (zlib bomb) must be rejected WITHOUT materializing
+    the bomb — inflate is capped at expected+1 bytes. 100 MB of zeros
+    compresses to ~100 KB; a full inflate would allocate 100 MB, the
+    bounded decode allocates 7 bytes."""
+    import resource
+
+    good_ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    bomb = (PNG_SIGNATURE + _chunk(b"IHDR", good_ihdr)
+            + _chunk(b"IDAT", zlib.compress(b"\x00" * (100 * 2**20)))
+            + _chunk(b"IEND", b""))
+    before = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    with pytest.raises(PngError, match="exceeds expected"):
+        decode_png(bomb)
+    after = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    # ru_maxrss is KiB on Linux: peak must not have grown by ~100 MB
+    assert after - before < 50 * 1024
+
+
+def test_truncated_idat_stream_raises():
+    """Deflate stream that ends mid-data (no terminator): typed error,
+    not a silent short decode."""
+    good_ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    full = zlib.compress(b"\x00" * 6)
+    bad = (PNG_SIGNATURE + _chunk(b"IHDR", good_ihdr)
+           + _chunk(b"IDAT", full[:len(full) - 4])
+           + _chunk(b"IEND", b""))
+    with pytest.raises(PngError):
+        decode_png(bad)
