@@ -74,12 +74,16 @@ def _replay_ordered(spark, df, order_col, src, n_files=4):
 
 
 class _drain_conf:
-    """Pin UTC + a narrow shuffle width for the duration of a drain
-    (micro-batch fixed costs scale with partitions-per-batch; the gated
-    results are invariant to both knobs), then restore. Also removes the
-    replayed input copy afterwards so repeated bench runs don't grow
-    /tmp by a corpus copy per invocation (sinks stay — the returned
-    DataFrame reads from them)."""
+    """Pin UTC + a measured shuffle width for the duration of a drain
+    (the gated results are invariant to both knobs), then restore. Also
+    removes the replayed input copy afterwards so repeated bench runs
+    don't grow tmpfs by a corpus copy per invocation (sinks stay — the
+    returned DataFrame reads from them).
+
+    Width 16, A/B'd warm min-of-3 on sessions_stream sf0.1/local[32]:
+    4 -> 11.1 s, 8 -> 8.9 s, 16 -> 6.3 s, 32 -> 6.6 s. The stateful
+    Python work parallelizes up to ~half the cores before per-partition
+    state-store fixed costs win; 16 is the knee."""
 
     def __init__(self, spark, src):
         self.spark, self.src = spark, src
@@ -88,7 +92,7 @@ class _drain_conf:
         self.tz = self.spark.conf.get("spark.sql.session.timeZone")
         self.sp = self.spark.conf.get("spark.sql.shuffle.partitions")
         self.spark.conf.set("spark.sql.session.timeZone", "UTC")
-        self.spark.conf.set("spark.sql.shuffle.partitions", "8")
+        self.spark.conf.set("spark.sql.shuffle.partitions", "16")
         return self
 
     def __exit__(self, *exc):
@@ -172,11 +176,16 @@ def sessions_stream(spark, sf_dir):
     src, out = os.path.join(base, "in"), os.path.join(base, "out")
     with _drain_conf(spark, src):
         ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        # 2 replay files, not 4: still >1 micro-batch (the cross-batch
+        # state contract stays exercised here AND is fixture-pinned in
+        # test_streaming_stateful.py) but halves the per-batch fixed
+        # costs — state-store opens per shuffle partition per batch —
+        # that dominated the drain at bench SF (r3 verdict #6)
         _replay_ordered(
             spark,
             ev.withColumn("us",
                           F.unix_micros(F.col("ts").cast("timestamp"))),
-            "us", src)
+            "us", src, n_files=2)
         sessionize_stream(spark, src, out)
     return (spark.read.parquet(os.path.join(out, "sessions"))
             .select("user_id", "session_start_us", "session_end_us",
