@@ -15,13 +15,18 @@ the actual canonicalization rules:
 * query parameters sorted bytewise
 * empty path canonicalized to '/'
 
-Registrable-domain extraction takes the last two dot-labels — a
-declared simplification: production swaps in the Mozilla Public Suffix
-List (effective-TLD rules), same column contract.
+Registrable-domain extraction runs the real Public Suffix List
+algorithm (operators.psl — longest-match with wildcard and exception
+rules, over a vendored snapshot subset of the rule set; the full ~9k
+rule list drops into PSL_RULES unchanged). The synthetic host suffixes
+include co.uk / com.au / github.io so the gate exercises multi-label
+public suffixes, and both engines evaluate rule predicates generated
+from the same rule table.
 
 Everything here is whole-stage-codegen Catalyst (regexp/string/array
 expressions, one hash aggregate for the rollup): no kernel, no UDF, no
-shuffle beyond the rollup's own groupBy.
+shuffle beyond the rollup's own groupBy — the PSL compiles to IN-set
+predicates, the expression analog of a broadcast dim join.
 """
 
 from __future__ import annotations
@@ -29,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from . import QuerySpec, table
+from .psl import registrable_domain, registrable_domain_sql
 
 #: deterministic messy-url synthesis (Spark side; oracle mirrors in SQL)
 _RAW_URL = (
@@ -38,8 +44,9 @@ _RAW_URL = (
     " '://WWW.Site', cast(doc_id % 97 as string),"
     " element_at(array('.Example.COM', '.Test.ORG', '.Mirror.NET',"
     "                  '.Archive.ORG', '.Corpus.IO', '.Crawl.DEV',"
-    "                  '.Pages.COM'),"
-    "            cast(doc_id % 7 as int) + 1),"
+    "                  '.Pages.COM', '.Shop.CO.UK', '.Press.COM.AU',"
+    "                  '.App.GitHub.IO'),"
+    "            cast(doc_id % 10 as int) + 1),"
     " element_at(array(':80', ':443', ':8080', ''),"
     "            cast(doc_id % 4 as int) + 1),"
     " '/Docs/', cast(doc_id as string),"
@@ -79,8 +86,7 @@ def _with_canonical(df):
                 .otherwise(F.lit("")),
                 path, qnorm))
             .withColumn("host", host)
-            .withColumn("domain",
-                        F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)))
+            .withColumn("domain", registrable_domain(host)))
 
 
 def url_canonicalize(spark, sf_dir):
@@ -96,8 +102,9 @@ _RAW_URL_SQL = """
   (['HTTPS', 'http', 'Http'][CAST(doc_id % 3 AS INT) + 1])
   || '://WWW.Site' || CAST(doc_id % 97 AS VARCHAR)
   || (['.Example.COM', '.Test.ORG', '.Mirror.NET', '.Archive.ORG',
-       '.Corpus.IO', '.Crawl.DEV', '.Pages.COM']
-        [CAST(doc_id % 7 AS INT) + 1])
+       '.Corpus.IO', '.Crawl.DEV', '.Pages.COM', '.Shop.CO.UK',
+       '.Press.COM.AU', '.App.GitHub.IO']
+        [CAST(doc_id % 10 AS INT) + 1])
   || ([':80', ':443', ':8080', ''][CAST(doc_id % 4 AS INT) + 1])
   || '/Docs/' || CAST(doc_id AS VARCHAR)
   || (['?z=26&a=1&m=13', '?a=1'][CAST(doc_id % 2 AS INT) + 1])
@@ -136,11 +143,12 @@ SELECT doc_id, url,
                                   OR (scheme = 'https' AND port = '443'))
             THEN ':' || port ELSE '' END || path || q AS canonical_url,
        host,
-       regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain
-FROM norm
+       {domain} AS domain
+FROM (SELECT *, string_split(host, '.') AS labs FROM norm)
 """
 
-URL_CANON_SQL = _CANON_SQL.format(raw_url=_RAW_URL_SQL)
+URL_CANON_SQL = _CANON_SQL.format(
+    raw_url=_RAW_URL_SQL, domain=registrable_domain_sql("labs"))
 
 
 def domain_rollup(spark, sf_dir):
@@ -171,12 +179,13 @@ hosts AS (
              ':[0-9]+$', '') AS host
   FROM raw
 )
-SELECT regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain,
+SELECT {domain} AS domain,
        COUNT(*) AS n_pages,
        COUNT(DISTINCT host) AS n_hosts,
        CAST(SUM(octet_length(encode(text))) AS BIGINT) AS text_bytes
-FROM hosts GROUP BY 1
-""".format(raw_url=_RAW_URL_SQL)
+FROM (SELECT *, string_split(host, '.') AS labs FROM hosts) GROUP BY 1
+""".format(raw_url=_RAW_URL_SQL,
+           domain=registrable_domain_sql("labs"))
 
 
 def corpus_split(spark, sf_dir):

@@ -453,3 +453,45 @@ def test_winnowing_guarantee_shared_run_shares_fingerprint(spark, queries):
         by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
     assert by_doc[1] & by_doc[2], "shared 6-token run must share a fp"
     assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+
+
+def test_psl_registrable_domain_matrix(spark):
+    """PSL algorithm (r3 verdict #5) on a hand-built matrix covering
+    every rule shape: multi-label suffix (co.uk), 3-label suffix
+    (s3.amazonaws.com), wildcard (*.ck), exception (!www.ck), private
+    operator suffix (github.io), default rule (unknown TLD), and
+    host-is-public-suffix ('' sentinel). Spark expression and the
+    generated DuckDB SQL must both match the spec answer."""
+    import duckdb
+
+    from pdf4py_spark.operators.psl import (
+        registrable_domain, registrable_domain_sql)
+
+    exp = {
+        "www.example.co.uk": "example.co.uk",
+        "example.co.uk": "example.co.uk", "co.uk": "", "uk": "",
+        "a.b.example.com": "example.com", "example.com": "example.com",
+        "com": "",
+        "foo.github.io": "foo.github.io",
+        "x.foo.github.io": "foo.github.io", "github.io": "",
+        "b.test.ck": "b.test.ck", "test.ck": "", "www.ck": "www.ck",
+        "sub.www.ck": "www.ck", "ck": "",
+        "bucket.s3.amazonaws.com": "bucket.s3.amazonaws.com",
+        "s3.amazonaws.com": "",
+        "site.example.unknowntld": "example.unknowntld",
+        "example.unknowntld": "example.unknowntld", "unknowntld": "",
+        "press.com.au": "press.com.au",
+        "x.press.com.au": "press.com.au",
+    }
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame([(c,) for c in exp], "host string")
+    got = {r["host"]: r["d"] for r in df.select(
+        "host", registrable_domain(F.col("host")).alias("d")).collect()}
+    assert got == exp
+    con = duckdb.connect()
+    con.execute("CREATE TABLE hosts AS SELECT * FROM (VALUES %s) t(host)"
+                % ",".join("('%s')" % c for c in exp))
+    got_sql = dict(con.execute(
+        "SELECT host, %s AS d FROM (SELECT host, string_split(host, '.')"
+        " AS labs FROM hosts)" % registrable_domain_sql()).fetchall())
+    assert got_sql == exp
