@@ -318,6 +318,77 @@ FROM documents
 """.format(pat=BPE_PATTERN)
 
 
+# --- real merge-table BPE ---------------------------------------------------
+
+#: symbol wrapper / pre-token boundary for the replace-chain encoding;
+#: control characters stripped from input first so they can't collide
+_BPE_SEP = "\x1f"
+_BPE_BOUND = "\x1e"
+
+
+def _bpe_wrapped_expr(dialect):
+    """Per-dialect SQL text producing the wrapped symbol string for a
+    document: pre-tokens from BPE_PATTERN, each character wrapped in
+    \\x1f, pre-tokens joined by \\x1e (merges can never cross the
+    boundary — pair patterns require adjacent \\x1f wrappers). The
+    wrapper/boundary control chars are stripped from the input first so
+    hostile text can't forge symbol structure."""
+    clean = "replace(replace(text, '\x1f', ''), '\x1e', '')"
+    if dialect == "spark":
+        return ("array_join(transform(regexp_extract_all(%s, '%s', 0),"
+                " t -> regexp_replace(t, '(.)', '\x1f$1\x1f')), '\x1e')"
+                % (clean, BPE_PATTERN))
+    return ("array_to_string(list_transform(regexp_extract_all(%s, '%s'),"
+            " t -> regexp_replace(t, '(.)', '\x1f\\1\x1f', 'g')), '\x1e')"
+            % (clean, BPE_PATTERN))
+
+
+def tokenize_bpe(spark, sf_dir):
+    """REAL BPE tokenization with the vendored trained merge table
+    (operators/bpe_merges.py, tools/train_bpe.py) — not just the
+    pre-tokenizer fertility of token_count_bpe.
+
+    Encoding trick that keeps this pure whole-stage-codegen Catalyst
+    (zero shuffles, no UDF, no kernel): symbols are individually wrapped
+    (\\x1fsym\\x1f) and concatenated, so applying merge (a, b) is ONE
+    literal string replace of \\x1fa\\x1f\\x1fb\\x1f with \\x1fab\\x1f —
+    replace() is left-to-right non-overlapping in both engines, exactly
+    BPE's within-rank application order. Applying the trained merges as
+    a rank-ordered replace chain is equivalent to the reference min-rank
+    loop because a trained table can only rank a pair AFTER the merges
+    that created its parts (pinned corpus-wide against a pure-Python
+    min-rank encoder in tests/test_operators.py).
+
+    Output pins the full token SEQUENCE, not just counts: bpe_md5 is the
+    digest of the final wrapped string."""
+    from .bpe_merges import BPE_MERGES
+
+    docs = table(spark, sf_dir, "documents")
+    s = F.expr(_bpe_wrapped_expr("spark"))
+    for a, b in BPE_MERGES:
+        s = F.replace(
+            s, F.lit(_BPE_SEP + a + _BPE_SEP + _BPE_SEP + b + _BPE_SEP),
+            F.lit(_BPE_SEP + a + b + _BPE_SEP))
+    return docs.select(
+        "doc_id",
+        ((F.length(s) - F.length(F.replace(s, F.lit(_BPE_SEP), F.lit(""))))
+         / 2).cast("bigint").alias("n_tokens_bpe"),
+        F.md5(s).alias("bpe_md5"))
+
+
+def _tokenize_bpe_sql():
+    from .bpe_merges import BPE_MERGES
+
+    s = _bpe_wrapped_expr("duckdb")
+    for a, b in BPE_MERGES:
+        s = "replace(%s, '%s', '%s')" % (
+            s, _BPE_SEP + a + _BPE_SEP + _BPE_SEP + b + _BPE_SEP,
+            _BPE_SEP + a + b + _BPE_SEP)
+    return ("SELECT doc_id, CAST((len(s) - len(replace(s, chr(31), '')))"
+            " / 2 AS BIGINT) AS n_tokens_bpe, md5(s) AS bpe_md5 "
+            "FROM (SELECT doc_id, %s AS s FROM documents)" % s)
+
+
 #: winnowing parameters (Schleimer/Wilkerson/Aiken, SIGMOD'03): k-gram
 #: size and window width — guarantee: any shared run of
 #: k + w - 1 = 6 tokens produces at least one shared fingerprint
@@ -473,5 +544,6 @@ QUERIES = {
     "fingerprint": QuerySpec(fingerprint, FINGERPRINT_SQL),
     "winnow_fingerprints": QuerySpec(winnow_fingerprints, WINNOW_SQL),
     "token_count_bpe": QuerySpec(token_count_bpe, TOKEN_BPE_SQL),
+    "tokenize_bpe": QuerySpec(tokenize_bpe, _tokenize_bpe_sql()),
     "bm25_search": QuerySpec(bm25_search, BM25_SQL),
 }

@@ -495,3 +495,51 @@ def test_psl_registrable_domain_matrix(spark):
         "SELECT host, %s AS d FROM (SELECT host, string_split(host, '.')"
         " AS labs FROM hosts)" % registrable_domain_sql()).fetchall())
     assert got_sql == exp
+
+
+def test_tokenize_bpe_matches_minrank_reference(spark, queries):
+    """The replace-chain BPE (rank-ordered merge application) must equal
+    the reference GPT-2-style MIN-RANK loop token-for-token on the whole
+    corpus — the equivalence relies on trained tables ranking a pair
+    only after the merges that created its parts, so this guards both
+    the encoder and any future retrained merge fixture."""
+    import hashlib
+    import re
+
+    from pdf4py_spark.operators.bpe_merges import BPE_MERGES
+    from pdf4py_spark.operators.textstats import BPE_PATTERN
+
+    ranks = {pair: i for i, pair in enumerate(BPE_MERGES)}
+
+    def encode(tok):
+        word = list(tok)
+        while len(word) > 1:
+            pairs = {(word[i], word[i + 1]) for i in range(len(word) - 1)}
+            best = min(pairs, key=lambda p: ranks.get(p, len(ranks)))
+            if best not in ranks:
+                break
+            out, i = [], 0
+            while i < len(word):
+                if i < len(word) - 1 and (word[i], word[i + 1]) == best:
+                    out.append(word[i] + word[i + 1])
+                    i += 2
+                else:
+                    out.append(word[i])
+                    i += 1
+            word = out
+        return word
+
+    pat = re.compile(BPE_PATTERN)
+    got = {r["doc_id"]: (r["n_tokens_bpe"], r["bpe_md5"])
+           for r in queries["tokenize_bpe"].fn(spark, SF).collect()}
+    docs = spark.read.parquet(SF + "/documents.parquet") \
+        .select("doc_id", "text").collect()
+    assert len(docs) == len(got)
+    for r in docs:
+        text = r["text"].replace("\x1f", "").replace("\x1e", "")
+        toks = [encode(t) for t in pat.findall(text)]
+        wrapped = "\x1e".join(
+            "".join("\x1f%s\x1f" % s for s in word) for word in toks)
+        exp_md5 = hashlib.md5(wrapped.encode()).hexdigest()
+        assert got[r["doc_id"]] == (sum(map(len, toks)), exp_md5), \
+            r["doc_id"]
