@@ -329,7 +329,20 @@ def build_font_decoder(spec: dict):
         encoding: str | None         base encoding name
         differences: list | None     PDF Differences array (ints + names)
         type0: bool                  composite font
-    Returns fn(bytes) -> str."""
+        identity: bool               Encoding is Identity-H / Identity-V
+        fontfile: bytes | None       embedded font program (FontFile2)
+        cid_to_gid: bytes | None     CIDToGIDMap stream payload (2-byte
+                                     big-endian gids indexed by CID);
+                                     None = /Identity
+    Returns fn(bytes) -> str.
+
+    Composite-font policy (r3 verdict #3): with /ToUnicode absent but an
+    Identity encoding + embedded TrueType program present, CIDs are
+    glyph ids (through CIDToGIDMap), and the font's own 'cmap' table
+    (kernel.sfnt) inverted gives gid -> Unicode — real text instead of
+    U+FFFD. Predefined non-Identity CMaps (UniGB-UCS2-H etc.) still
+    fall back to U+FFFD: their CID space needs the ROS collection
+    tables, which are not embedded."""
     tu = spec.get("tounicode")
     if tu:
         try:
@@ -339,8 +352,29 @@ def build_font_decoder(spec: dict):
         except Exception:  # noqa: BLE001 - malformed CMap: fall through
             pass
     if spec.get("type0"):
+        g2u = None
+        if spec.get("identity") and spec.get("fontfile"):
+            from .sfnt import SfntError, gid_to_unicode
+            try:
+                g2u = gid_to_unicode(spec["fontfile"])
+            except SfntError:
+                g2u = None
+        c2g = spec.get("cid_to_gid")
+
         def decode_cid(data: bytes) -> str:
-            return REPLACEMENT * ((len(data) + 1) // 2)
+            if not g2u:
+                return REPLACEMENT * ((len(data) + 1) // 2)
+            out = []
+            for i in range(0, len(data) - 1, 2):
+                gid = (data[i] << 8) | data[i + 1]
+                if c2g is not None:
+                    pos = 2 * gid
+                    gid = ((c2g[pos] << 8) | c2g[pos + 1]
+                           if pos + 1 < len(c2g) else 0)
+                out.append(g2u.get(gid, REPLACEMENT))
+            if len(data) % 2:
+                out.append(REPLACEMENT)
+            return "".join(out)
         return decode_cid
     table = base_encoding_table(spec.get("encoding"))
     diffs = spec.get("differences")

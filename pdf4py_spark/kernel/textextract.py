@@ -186,6 +186,46 @@ def pages_with_resources(doc: DocumentParser):
     return out
 
 
+def _composite_spec(doc: DocumentParser, font: dict, spec: dict) -> None:
+    """Fill the composite-font spec fields the embedded-cmap decode path
+    needs (fonts.build_font_decoder): Identity encoding flag, the
+    descendant's FontFile2 program, and a CIDToGIDMap stream if any."""
+    enc = font.get("Encoding")
+    if isinstance(enc, Ref):
+        enc = doc.resolve(enc)
+    spec["identity"] = enc in ("Identity-H", "Identity-V")
+    desc = font.get("DescendantFonts")
+    if isinstance(desc, Ref):
+        desc = doc.resolve(desc)
+    if not (isinstance(desc, list) and desc):
+        return
+    d0 = desc[0]
+    if isinstance(d0, Ref):
+        d0 = doc.resolve(d0)
+    if not isinstance(d0, dict):
+        return
+    c2g = d0.get("CIDToGIDMap")
+    if isinstance(c2g, Ref):
+        c2g = doc.resolve(c2g)
+    if isinstance(c2g, Stream):
+        try:
+            spec["cid_to_gid"] = c2g.payload()
+        except Exception:  # noqa: BLE001 - undecodable map stream
+            pass
+    fd = d0.get("FontDescriptor")
+    if isinstance(fd, Ref):
+        fd = doc.resolve(fd)
+    if isinstance(fd, dict):
+        ff = fd.get("FontFile2")
+        if isinstance(ff, Ref):
+            ff = doc.resolve(ff)
+        if isinstance(ff, Stream):
+            try:
+                spec["fontfile"] = ff.payload()
+            except Exception:  # noqa: BLE001 - undecodable font stream
+                pass
+
+
 def font_decoders(doc: DocumentParser, resources) -> dict:
     """Font resource name -> decoder fn(bytes) -> str."""
     from .fonts import build_font_decoder
@@ -214,6 +254,8 @@ def font_decoders(doc: DocumentParser, resources) -> dict:
                 spec["tounicode"] = tu.payload()
             except Exception:  # noqa: BLE001 - undecodable CMap stream
                 pass
+        if spec["type0"]:
+            _composite_spec(doc, font, spec)
         enc = font.get("Encoding")
         if isinstance(enc, Ref):
             enc = doc.resolve(enc)

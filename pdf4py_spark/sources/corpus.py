@@ -65,6 +65,9 @@ def corpus_rows():
         with open(os.path.join(ENCRYPTED_DIR, name), "rb") as fh:
             rows.append(("crawl://encrypted/" + name, fh.read()))
     rows.extend(_HTML_DOCS)
+    # synthesized capability fixtures (deterministic, no external data)
+    from .synthpdf import identity_h_pdf
+    rows.append(("crawl://synth/identity-h.pdf", identity_h_pdf()))
     rows.extend(_ADVERSARIAL)
     with open(os.path.join(PDF_DIR, "0005.pdf"), "rb") as fh:
         rows.append(("crawl://adversarial/truncated.pdf", fh.read()[:1024]))

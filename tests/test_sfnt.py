@@ -1,0 +1,87 @@
+"""kernel.sfnt — embedded TrueType 'cmap' parsing for Identity-H decode
+(r3 verdict #3). Builder-independent where possible: the format-4 hostile
+cases are hand-packed, and the end-to-end fixture decode is asserted
+against literal expected text through BOTH parser stacks elsewhere
+(tools/make_oracle.py golden regeneration)."""
+
+import struct
+
+import pytest
+
+from pdf4py_spark.kernel.sfnt import (
+    MAX_GROUP_SPAN, SfntError, gid_to_unicode, unicode_to_gid,
+)
+from pdf4py_spark.sources.synthpdf import (
+    EXPECTED_F1, EXPECTED_F2, EXPECTED_TEXT, identity_h_pdf, make_truetype,
+)
+
+
+def test_format4_roundtrip():
+    font, char_to_gid = make_truetype(EXPECTED_F1, fmt=4)
+    assert unicode_to_gid(font) == char_to_gid
+    inv = gid_to_unicode(font)
+    assert "".join(inv[char_to_gid[ord(c)]] for c in EXPECTED_F1) \
+        == EXPECTED_F1
+
+
+def test_format12_roundtrip_including_non_bmp():
+    font, char_to_gid = make_truetype(EXPECTED_F2, fmt=12)
+    assert unicode_to_gid(font) == char_to_gid
+    assert 0x1D11E in char_to_gid  # the non-BMP codepoint is exercised
+    inv = gid_to_unicode(font)
+    assert "".join(inv[char_to_gid[ord(c)]] for c in EXPECTED_F2) \
+        == EXPECTED_F2
+
+
+def test_gid_collision_keeps_smallest_codepoint():
+    font, _ = make_truetype("A", fmt=4)
+    # hand-build a format-12 font mapping two codepoints to ONE gid
+    sub = struct.pack(">HHIII", 12, 0, 16 + 24, 0, 2)
+    sub += struct.pack(">III", 0x41, 0x41, 5)   # 'A' -> gid 5
+    sub += struct.pack(">III", 0x61, 0x61, 5)   # 'a' -> gid 5 too
+    cmap = struct.pack(">HHHHI", 0, 1, 3, 10, 12) + sub
+    from pdf4py_spark.sources.synthpdf import _sfnt
+    font = _sfnt({"cmap": cmap})
+    assert gid_to_unicode(font) == {5: "A"}
+
+
+def test_hostile_inputs_raise_typed():
+    with pytest.raises(SfntError):
+        unicode_to_gid(b"nota-font")
+    with pytest.raises(SfntError):
+        unicode_to_gid(b"\x00\x01\x00\x00" + b"\x00" * 8)  # no tables
+    # format-12 group spanning 2^31 codepoints: rejected, not allocated
+    sub = struct.pack(">HHIII", 12, 0, 28, 0, 1)
+    sub += struct.pack(">III", 0, MAX_GROUP_SPAN + 2, 1)
+    cmap = struct.pack(">HHHHI", 0, 1, 3, 10, 12) + sub
+    from pdf4py_spark.sources.synthpdf import _sfnt
+    with pytest.raises(SfntError, match="span"):
+        unicode_to_gid(_sfnt({"cmap": cmap}))
+    # truncated subtable offset past end
+    cmap = struct.pack(">HHHHI", 0, 1, 3, 1, 9999)
+    with pytest.raises(SfntError):
+        unicode_to_gid(_sfnt({"cmap": cmap}))
+
+
+def test_identity_h_pdf_decodes_real_text():
+    """End to end through OUR stack: Identity-H without ToUnicode used
+    to decode to U+FFFD; with the embedded cmap it must be the literal
+    text — format 4, format 12 (non-BMP), and the CIDToGIDMap-stream
+    font all in one document."""
+    from pdf4py_spark.kernel.parser import DocumentParser
+    from pdf4py_spark.kernel.textextract import extract_pdf_text_unicode
+    doc = DocumentParser(identity_h_pdf())
+    assert extract_pdf_text_unicode(doc).decode("utf-8") == EXPECTED_TEXT
+    assert "�" not in EXPECTED_TEXT
+
+
+def test_identity_h_without_fontfile_still_replacement():
+    """The declared fallback survives: no embedded program -> U+FFFD per
+    CID (the old policy), never a crash."""
+    from pdf4py_spark.kernel.fonts import build_font_decoder
+    dec = build_font_decoder({"type0": True, "identity": True})
+    assert dec(b"\x00\x05\x00\x06") == "��"
+    # corrupt font program: typed error inside -> fallback, not a raise
+    dec = build_font_decoder(
+        {"type0": True, "identity": True, "fontfile": b"garbage"})
+    assert dec(b"\x00\x05") == "�"

@@ -2,7 +2,7 @@
 queries in __spark_entry__ (so the driver's DuckDB oracle can read the
 same tables by absolute path):
 
-    tests/fixtures/pages.parquet    the 30-row pages corpus
+    tests/fixtures/pages.parquet    the fixture pages corpus
     tests/fixtures/oracle.parquet   url, extracted, parse_ok, n_objects,
                                     n_pages (from tests/golden/)
 

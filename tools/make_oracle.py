@@ -156,6 +156,33 @@ def _rr(parser, obj):
     return obj
 
 
+def _composite_spec_ref(parser, font, spec):
+    """Mirror of kernel.textextract._composite_spec over the reference
+    parser's objects (Identity flag, FontFile2, CIDToGIDMap stream)."""
+    enc = _rr(parser, font.get("Encoding"))
+    spec["identity"] = enc in ("Identity-H", "Identity-V")
+    desc = _rr(parser, font.get("DescendantFonts"))
+    if not (isinstance(desc, list) and desc):
+        return
+    d0 = _rr(parser, desc[0])
+    if not isinstance(d0, dict):
+        return
+    c2g = _rr(parser, d0.get("CIDToGIDMap"))
+    if isinstance(c2g, PDFStream):
+        try:
+            spec["cid_to_gid"] = bytes(c2g.stream())
+        except Exception:
+            pass
+    fd = _rr(parser, d0.get("FontDescriptor"))
+    if isinstance(fd, dict):
+        ff = _rr(parser, fd.get("FontFile2"))
+        if isinstance(ff, PDFStream):
+            try:
+                spec["fontfile"] = bytes(ff.stream())
+            except Exception:
+                pass
+
+
 def _font_decoders_ref(parser, resources):
     resources = _rr(parser, resources)
     if not isinstance(resources, dict):
@@ -176,6 +203,8 @@ def _font_decoders_ref(parser, resources):
                 spec["tounicode"] = bytes(tu.stream())
             except Exception:
                 pass
+        if spec["type0"]:
+            _composite_spec_ref(parser, font, spec)
         enc = _rr(parser, font.get("Encoding"))
         if isinstance(enc, str):
             spec["encoding"] = enc
@@ -303,7 +332,7 @@ def main():
     manifest = {}
     for url, _ts, payload, _text, _lang in corpus_rows():
         if not url.startswith(("crawl://pdfs/", "crawl://encrypted/",
-                               "crawl://adversarial/")):
+                               "crawl://synth/", "crawl://adversarial/")):
             continue
         entry = {"parse_ok": False}
         try:
