@@ -34,14 +34,14 @@ def table(spark, sf_dir: str, name: str):
 
 def all_queries():
     from . import (
-        dedup, extraction_queries, multimodal, relational, similarity,
-        streaming_queries, textstats, webtext,
+        corpusstats, dedup, extraction_queries, multimodal, relational,
+        similarity, streaming_queries, textstats, webtext,
     )
 
     merged = {}
     for mod in (dedup, similarity, textstats, relational,
                 extraction_queries, multimodal, streaming_queries,
-                webtext):
+                webtext, corpusstats):
         overlap = set(merged) & set(mod.QUERIES)
         if overlap:
             raise ValueError("duplicate query names: %r" % overlap)

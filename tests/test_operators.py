@@ -543,3 +543,81 @@ def test_tokenize_bpe_matches_minrank_reference(spark, queries):
         exp_md5 = hashlib.md5(wrapped.encode()).hexdigest()
         assert got[r["doc_id"]] == (sum(map(len, toks)), exp_md5), \
             r["doc_id"]
+
+
+def test_quality_repetition_flags_degenerate_docs(spark, queries):
+    """A doc that is one word repeated must trip every repetition gate;
+    the synthetic corpus docs are diverse enough that most pass."""
+    rows = {r["doc_id"]: r
+            for r in queries["quality_repetition"].fn(spark, SF).collect()}
+    n_docs = spark.read.parquet(SF + "/documents.parquet").count()
+    assert len(rows) == n_docs
+    for r in rows.values():
+        assert 0.0 <= r["dup_word_frac"] <= 1.0
+        assert 0.0 < r["top_word_frac"] <= 1.0
+    assert sum(r["keep"] for r in rows.values()) > 0
+    # planted degenerate doc through the same operator body
+    from pdf4py_spark.operators.corpusstats import quality_repetition
+    import os, tempfile  # noqa: E401
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(
+        [(1, "spam " * 49 + "spam"), (2, " ".join("w%d" % i for i in range(50)))],
+        "doc_id bigint, text string").coalesce(1) \
+        .write.mode("overwrite").parquet(os.path.join(d, "staged"))
+    import glob, shutil  # noqa: E401
+    shutil.copy(glob.glob(os.path.join(d, "staged", "part-*.parquet"))[0],
+                os.path.join(d, "documents.parquet"))
+    got = {r["doc_id"]: r for r in quality_repetition(spark, d).collect()}
+    assert got[1]["keep"] is False and got[1]["top_word_frac"] == 1.0
+    assert got[2]["keep"] is True and got[2]["dup_word_frac"] == 0.0
+
+
+def test_dedup_paragraph_counts_cross_doc_units(spark, queries):
+    """Invariants on the real corpus plus exact expectations on a
+    planted fixture: a sentence shared by two docs counts as duplicated
+    in BOTH; unshared sentences don't."""
+    rows = queries["dedup_paragraph"].fn(spark, SF).collect()
+    n_docs = spark.read.parquet(SF + "/documents.parquet").count()
+    assert len(rows) == n_docs
+    for r in rows:
+        assert 0 <= r["n_dup_units"] <= r["n_units"]
+        assert 0.0 <= r["dup_unit_frac"] <= 1.0
+    from pdf4py_spark.operators.corpusstats import dedup_paragraph
+    import os, tempfile, glob, shutil  # noqa: E401
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(
+        [(1, "shared sentence one. unique alpha text"),
+         (2, "shared sentence one. unique beta text"),
+         (3, "entirely different. nothing shared here")],
+        "doc_id bigint, text string").coalesce(1) \
+        .write.mode("overwrite").parquet(os.path.join(d, "staged"))
+    shutil.copy(glob.glob(os.path.join(d, "staged", "part-*.parquet"))[0],
+                os.path.join(d, "documents.parquet"))
+    got = {r["doc_id"]: (r["n_units"], r["n_dup_units"])
+           for r in dedup_paragraph(spark, d).collect()}
+    assert got == {1: (2, 1), 2: (2, 1), 3: (2, 0)}
+
+
+def test_bigram_pmi_ranks_exclusive_pair_top(spark):
+    """A pair that ALWAYS co-occurs and never appears apart maximizes
+    the ratio score; a frequent-but-independent pair must rank below."""
+    from pdf4py_spark.operators.corpusstats import bigram_pmi
+    import os, tempfile, glob, shutil  # noqa: E401
+    # 'spark catalyst' co-occur EXCLUSIVELY (score N/(10*10)); every
+    # filler pair shares the high-frequency word 'common', diluting its
+    # score by c_b — so the exclusive pair must rank 1 strictly
+    # bracketed by 'common' so even the pair's NEIGHBOR bigrams
+    # (common,spark) / (catalyst,common) are diluted by c(common)
+    filler = " ".join("f%d common" % i for i in range(30))
+    rows = [(i, "common spark catalyst common %s" % filler)
+            for i in range(10)]
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(rows, "doc_id bigint, text string").coalesce(1) \
+        .write.mode("overwrite").parquet(os.path.join(d, "staged"))
+    shutil.copy(glob.glob(os.path.join(d, "staged", "part-*.parquet"))[0],
+                os.path.join(d, "documents.parquet"))
+    got = bigram_pmi(spark, d).collect()
+    by_rank = sorted(got, key=lambda r: r["rank"])
+    assert (by_rank[0]["w1"], by_rank[0]["w2"]) == ("spark", "catalyst")
+    ranks = [r["rank"] for r in by_rank]
+    assert ranks == list(range(1, len(ranks) + 1))

@@ -17,6 +17,7 @@ NLJ_ALLOWED = {
     "ann_cosine_topk",    # the declared exactness baseline: full cross join
     "bm25_search",        # crossJoin(broadcast(<one-row corpus stats>))
     "ann_bucketed_topk",  # n x K centroid scoring: broadcast of K=8 rows
+    "bigram_pmi",         # crossJoin(broadcast(<one-row unigram total>))
 }
 
 
