@@ -144,6 +144,10 @@ BENCH_QUERIES = (
     "url_canonicalize",
     "domain_rollup",
     "corpus_split",
+    "tokenize_bpe",
+    "quality_repetition",
+    "dedup_paragraph",
+    "bigram_pmi",
     "sessions_stream",
     "dedup_stream",
 )

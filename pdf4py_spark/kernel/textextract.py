@@ -216,14 +216,19 @@ def _composite_spec(doc: DocumentParser, font: dict, spec: dict) -> None:
     if isinstance(fd, Ref):
         fd = doc.resolve(fd)
     if isinstance(fd, dict):
-        ff = fd.get("FontFile2")
-        if isinstance(ff, Ref):
-            ff = doc.resolve(ff)
-        if isinstance(ff, Stream):
-            try:
-                spec["fontfile"] = ff.payload()
-            except Exception:  # noqa: BLE001 - undecodable font stream
-                pass
+        # FontFile2 = TrueType; FontFile3 /OpenType = OTTO-tagged sfnt,
+        # same cmap route (bare-CFF FontFile3 payloads raise SfntError
+        # downstream and fall back to the U+FFFD policy)
+        for key in ("FontFile2", "FontFile3"):
+            ff = fd.get(key)
+            if isinstance(ff, Ref):
+                ff = doc.resolve(ff)
+            if isinstance(ff, Stream):
+                try:
+                    spec["fontfile"] = ff.payload()
+                    break
+                except Exception:  # noqa: BLE001 - undecodable stream
+                    pass
 
 
 def font_decoders(doc: DocumentParser, resources) -> dict:

@@ -11,6 +11,9 @@ text is only recoverable by parsing the embedded TrueType program's
        CIDToGIDMap absent (defaults to Identity)
   /F3  same font program as /F1 but a CIDToGIDMap STREAM shifting
        cid -> gid, so the stream branch is exercised end to end
+  /F4  OTTO-tagged (OpenType) program delivered via FontFile3
+       /Subtype /OpenType — the same cmap route through the other
+       font-stream key
 
 Everything is synthesized from string literals — no external data. The
 builder intentionally writes a plain classic-xref PDF so BOTH parser
@@ -25,14 +28,15 @@ import struct
 EXPECTED_F1 = "Hello Identity"
 EXPECTED_F2 = "数据引擎𝄞"
 EXPECTED_F3 = "CID stream"
+EXPECTED_F4 = "OpenType ok"
 #: what extract_pdf_text_unicode must produce for the whole document
-EXPECTED_TEXT = EXPECTED_F1 + EXPECTED_F2 + EXPECTED_F3
+EXPECTED_TEXT = EXPECTED_F1 + EXPECTED_F2 + EXPECTED_F3 + EXPECTED_F4
 
 #: CIDToGIDMap stream shift for /F3: cid = gid + 7
 _C2G_SHIFT = 7
 
 
-def _sfnt(tables: dict) -> bytes:
+def _sfnt(tables: dict, tag: int = 0x00010000) -> bytes:
     """Pack tag->bytes into a minimal sfnt container (padded, with real
     checksums so stricter consumers don't balk)."""
     tags = sorted(tables)
@@ -40,7 +44,7 @@ def _sfnt(tables: dict) -> bytes:
     # binary-search fields per the sfnt spec
     entry_sel = max(0, n.bit_length() - 1)
     search_range = (1 << entry_sel) * 16
-    out = bytearray(struct.pack(">IHHHH", 0x00010000, n, search_range,
+    out = bytearray(struct.pack(">IHHHH", tag, n, search_range,
                                 entry_sel, n * 16 - search_range))
     offset = 12 + 16 * n
     records, blobs = [], []
@@ -95,10 +99,11 @@ def _cmap_table(subtable: bytes, platform: int, encoding: int) -> bytes:
     return struct.pack(">HHHHI", 0, 1, platform, encoding, 12) + subtable
 
 
-def make_truetype(text: str, fmt: int) -> tuple[bytes, dict]:
-    """Minimal TrueType program whose cmap maps exactly the chars of
-    ``text`` (gids assigned 1.. in sorted char order). Returns
-    (font bytes, char->gid)."""
+def make_truetype(text: str, fmt: int,
+                  otto: bool = False) -> tuple[bytes, dict]:
+    """Minimal TrueType (or OTTO-tagged OpenType) program whose cmap
+    maps exactly the chars of ``text`` (gids assigned 1.. in sorted
+    char order). Returns (font bytes, char->gid)."""
     char_to_gid = {ord(c): i + 1
                    for i, c in enumerate(sorted(set(text)))}
     if fmt == 4:
@@ -112,7 +117,9 @@ def make_truetype(text: str, fmt: int) -> tuple[bytes, dict]:
     head = struct.pack(">IIIIHHQQhhhhHHhhh", 0x00010000, 0, 0x5F0F3CF5,
                        0, 0, 1000, 0, 0, 0, 0, 1000, 1000, 0, 8, 2, 0, 0)
     maxp = struct.pack(">IH", 0x00005000, len(char_to_gid) + 1)
-    return _sfnt({"cmap": cmap, "head": head, "maxp": maxp}), char_to_gid
+    tag = 0x4F54544F if otto else 0x00010000
+    return (_sfnt({"cmap": cmap, "head": head, "maxp": maxp}, tag=tag),
+            char_to_gid)
 
 
 def _hex_show(codes: list) -> bytes:
@@ -134,9 +141,13 @@ def identity_h_pdf() -> bytes:
     for cid in cids_f3:
         struct.pack_into(">H", c2g, 2 * cid, cid - _C2G_SHIFT)
 
+    font_d, map_d = make_truetype(EXPECTED_F4, fmt=4, otto=True)
+    cids_f4 = [map_d[ord(c)] for c in EXPECTED_F4]
+
     content = b"BT /F1 12 Tf 72 720 Td " + _hex_show(cids_f1) + \
         b" /F2 12 Tf " + _hex_show(cids_f2) + \
-        b" /F3 12 Tf " + _hex_show(cids_f3) + b" ET"
+        b" /F3 12 Tf " + _hex_show(cids_f3) + \
+        b" /F4 12 Tf " + _hex_show(cids_f4) + b" ET"
 
     def type0(desc_ref: int) -> bytes:
         return ("<< /Type /Font /Subtype /Type0 /BaseFont /Synth "
@@ -151,11 +162,11 @@ def identity_h_pdf() -> bytes:
                 "/Supplement 0 >> /FontDescriptor %d 0 R %s >>"
                 % (fd_ref, extra)).encode()
 
-    def fontdesc(ff_ref: int) -> bytes:
+    def fontdesc(ff_ref: int, key: str = "FontFile2") -> bytes:
         return ("<< /Type /FontDescriptor /FontName /Synth /Flags 4 "
                 "/ItalicAngle 0 /Ascent 800 /Descent -200 /CapHeight 700 "
                 "/StemV 80 /FontBBox [0 -200 1000 800] "
-                "/FontFile2 %d 0 R >>" % ff_ref).encode()
+                "/%s %d 0 R >>" % (key, ff_ref)).encode()
 
     def stream_obj(data: bytes, extra: str = "") -> bytes:
         return ("<< /Length %d %s>>" % (len(data), extra)).encode() + \
@@ -166,7 +177,7 @@ def identity_h_pdf() -> bytes:
         b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",              # 2
         (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
          b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R "
-         b"/F2 8 0 R /F3 11 0 R >> >> >>"),                        # 3
+         b"/F2 8 0 R /F3 11 0 R /F4 18 0 R >> >> >>"),             # 3
         stream_obj(content),                                       # 4
         type0(6),                                                  # 5  F1
         cidfont(7),                                                # 6
@@ -181,6 +192,10 @@ def identity_h_pdf() -> bytes:
         stream_obj(font_b, "/Length1 %d " % len(font_b)),          # 15
         stream_obj(font_c, "/Length1 %d " % len(font_c)),          # 16
         stream_obj(bytes(c2g)),                                    # 17
+        type0(19),                                                 # 18 F4
+        cidfont(20),                                               # 19
+        fontdesc(21, key="FontFile3"),                             # 20
+        stream_obj(font_d, "/Subtype /OpenType "),                 # 21
     ]
     out = bytearray(b"%PDF-1.6\n")
     offsets = []

@@ -175,12 +175,14 @@ def _composite_spec_ref(parser, font, spec):
             pass
     fd = _rr(parser, d0.get("FontDescriptor"))
     if isinstance(fd, dict):
-        ff = _rr(parser, fd.get("FontFile2"))
-        if isinstance(ff, PDFStream):
-            try:
-                spec["fontfile"] = bytes(ff.stream())
-            except Exception:
-                pass
+        for key in ("FontFile2", "FontFile3"):
+            ff = _rr(parser, fd.get(key))
+            if isinstance(ff, PDFStream):
+                try:
+                    spec["fontfile"] = bytes(ff.stream())
+                    break
+                except Exception:
+                    pass
 
 
 def _font_decoders_ref(parser, resources):
