@@ -109,6 +109,7 @@ def bench_extract(spark, copies: int):
 BENCH_QUERIES = (
     "extract_html_roundtrip",
     "extract_pdf_fonts",
+    "extract_pdf_metadata",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_minhash_clusters",
@@ -132,6 +133,7 @@ BENCH_QUERIES = (
     "min_cost_supplier",
     "market_share",
     "latest_event_per_user",
+    "user_state_intervals",
     "top_orders_per_segment",
     "events_hourly",
     "events_sliding_3h",

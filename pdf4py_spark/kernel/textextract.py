@@ -385,3 +385,50 @@ def extract_pdf_text_unicode(doc: DocumentParser) -> bytes:
         page_texts.append(
             unicode_from_content_bytes(b"\n".join(decoded), decoders))
     return "\n".join(page_texts).encode("utf-8")
+
+
+def _raw_string(obj):
+    """PDF string object -> raw bytes (literal as-is, hex unhexlified),
+    else None."""
+    if isinstance(obj, LiteralString):
+        return obj.value
+    if isinstance(obj, HexString):
+        return _unhex(obj.value)
+    return None
+
+
+def doc_metadata(doc: DocumentParser) -> str:
+    """Canonical Info-dictionary + annotation-census line (K49); the
+    formatter is the SHARED kernel.docmeta.metadata_line — the oracle
+    resolves the same objects through the reference parser."""
+    from .docmeta import METADATA_KEYS, metadata_line
+
+    info = doc.trailer.get("Info")
+    if isinstance(info, Ref):
+        try:
+            info = doc.resolve(info)
+        except Exception:  # noqa: BLE001 - broken Info ref: treat absent
+            info = None
+    raw = {}
+    if isinstance(info, dict):
+        for key in METADATA_KEYS:
+            v = info.get(key)
+            if isinstance(v, Ref):
+                try:
+                    v = doc.resolve(v)
+                except Exception:  # noqa: BLE001
+                    v = None
+            b = _raw_string(v)
+            if b is not None:
+                raw[key] = b
+    n_annots = 0
+    for page, _resources in pages_with_resources(doc):
+        annots = page.get("Annots") if isinstance(page, dict) else None
+        if isinstance(annots, Ref):
+            try:
+                annots = doc.resolve(annots)
+            except Exception:  # noqa: BLE001
+                annots = None
+        if isinstance(annots, list):
+            n_annots += len(annots)
+    return metadata_line(raw, n_annots)

@@ -207,6 +207,62 @@ WHERE parse_ok
 """.format(oracle=FIXTURE_ORACLE)
 
 
+def _doc_metadata_batches(batches):
+    import pandas as pd
+
+    from ..kernel.parser import DocumentParser
+    from ..kernel.textextract import doc_metadata
+
+    for pdf in batches:
+        out = {"url": [], "meta": []}
+        for url, payload, password, pw_bytes in zip(
+                pdf["url"], pdf["html"], pdf["password"],
+                pdf["password_is_bytes"]):
+            data = bytes(payload)
+            if not data.startswith(b"%PDF-"):
+                continue
+            pw = password if isinstance(password, str) else None
+            if pw is not None and pw_bytes:
+                pw = pw.encode("utf-8")
+            try:
+                doc = DocumentParser(data, password=pw)
+                line = doc_metadata(doc)
+            except Exception:  # noqa: BLE001 - parse failure: no row
+                continue
+            out["url"].append(url)
+            out["meta"].append(line)
+        yield pd.DataFrame(out)
+
+
+def extract_pdf_metadata(spark, sf_dir):
+    """Document-information metadata gate (K49): the canonical Info-dict
+    + annotation-census line (Title/Author/Subject/Creator/Producer/
+    CreationDate/ModDate + n_annots — text strings decoded per §7.9.2.2
+    incl. string DECRYPTION on the encrypted fixtures) resolved by OUR
+    parser must hash-match the same line resolved by the REFERENCE
+    parser, both formatted by the shared kernel.docmeta.metadata_line.
+    Compared on the reference-parseable set, like the fonts gate."""
+    from ..sources.pages import passwords_df
+
+    pages = (spark.read.parquet(FIXTURE_PAGES)
+             .join(F.broadcast(passwords_df(spark)), "url", "left")
+             .select("url", "html", "password", "password_is_bytes")
+             .repartition(4, "url"))
+    meta = pages.mapInPandas(
+        _doc_metadata_batches, schema="url string, meta string")
+    ref_ok = (spark.read.parquet(FIXTURE_ORACLE)
+              .where("parse_ok").select("url"))
+    return (meta.join(F.broadcast(ref_ok), "url")
+            .select("url", F.md5("meta").alias("meta_md5")))
+
+
+PDF_METADATA_SQL = """
+SELECT url, meta_md5
+FROM read_parquet('{oracle}')
+WHERE parse_ok
+""".format(oracle=FIXTURE_ORACLE)
+
+
 def extract_quarantine_counts(spark, sf_dir):
     """Totality contract: every corpus row lands in exactly one status."""
     result = _fixture_extraction(spark)
@@ -288,6 +344,8 @@ QUERIES = {
     "extract_pdf_unicode_md5": QuerySpec(extract_pdf_unicode_md5,
                                          PDF_UNICODE_MD5_SQL),
     "extract_pdf_fonts": QuerySpec(extract_pdf_fonts, PDF_FONTS_SQL),
+    "extract_pdf_metadata": QuerySpec(extract_pdf_metadata,
+                                      PDF_METADATA_SQL),
     "extract_quarantine_counts": QuerySpec(extract_quarantine_counts,
                                            QUARANTINE_SQL),
 }

@@ -539,6 +539,40 @@ QUALIFY row_number() OVER (PARTITION BY user_id, event_type
 """
 
 
+def user_state_intervals(spark, sf_dir):
+    """SCD2 history build — latest_event_per_user's keep-ALL sibling:
+    each event opens a validity interval for that user's state (the
+    event_type), closed by the user's next event; the newest interval
+    stays open (valid_to_us = -1 sentinel, is_current = true — nullable
+    bigints come back float64 through pandas, the fetch-stable rule).
+    ONE shuffle (window partitionBy user, sort within key groups only)
+    — the standard dimension-history derivation from a CDC event log at
+    any scale. Deterministic: (user_id, ts) is unique and event_id
+    breaks any residual tie in both engines."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = ("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 "
+          "00:00:00', %s)")
+    return (ev
+            .withColumn("nxt", F.lead("ts").over(w))
+            .select(
+                "user_id", "event_id", "event_type",
+                F.expr(us % "ts").alias("valid_from_us"),
+                F.coalesce(F.expr(us % "nxt"), F.lit(-1))
+                .alias("valid_to_us"),
+                F.col("nxt").isNull().alias("is_current")))
+
+
+USER_STATE_INTERVALS_SQL = """
+SELECT user_id, event_id, event_type,
+       epoch_us(ts) AS valid_from_us,
+       COALESCE(epoch_us(lead(ts) OVER w), -1) AS valid_to_us,
+       lead(ts) OVER w IS NULL AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 QUERIES = {
     "asof_attribution": QuerySpec(asof_attribution, ASOF_SQL),
     "events_sliding_3h": QuerySpec(events_sliding_3h, EVENTS_SLIDING_SQL),
@@ -555,4 +589,6 @@ QUERIES = {
     "market_share": QuerySpec(market_share, MARKET_SHARE_SQL),
     "latest_event_per_user": QuerySpec(latest_event_per_user,
                                        LATEST_EVENT_SQL),
+    "user_state_intervals": QuerySpec(user_state_intervals,
+                                      USER_STATE_INTERVALS_SQL),
 }

@@ -201,3 +201,42 @@ def test_font_census_line_canonicalization():
         "F3", {"Subtype": 42, "BaseFont": [1, 2]},
         {"BaseEncoding": "MacRomanEncoding"}, False) == "F3|||<dict>|"
     assert font_census_line("F4", {}, None, False) == "F4||||"
+
+
+def test_doc_metadata_decodes_info_and_counts_annots():
+    """K49 rules pinned independently of the reference corpus: UTF-16BE
+    BOM titles decode, PDFDoc/latin-1 fallback applies, pipes in values
+    are escaped, missing keys are empty, and /Annots arrays are counted
+    across pages."""
+    from pdf4py_spark.kernel.docmeta import metadata_line
+    from pdf4py_spark.kernel.parser import DocumentParser
+    from pdf4py_spark.kernel.textextract import doc_metadata
+
+    title_utf16 = b"\xfe\xff" + "Schrödinger".encode("utf-16-be")
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        (b"<< /Type /Page /Parent 2 0 R "
+         b"/Annots [<< /Subtype /Link >> << /Subtype /Text >>] >>"),
+        b"<< /Title (" + title_utf16.replace(b"\\", b"\\\\")
+        .replace(b"(", b"\\(").replace(b")", b"\\)")
+        + b") /Author (a|b) /Producer <414243> >>",
+    ]
+    out = bytearray(b"%PDF-1.6\n")
+    offsets = []
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += ("%d 0 obj\n" % i).encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += ("xref\n0 %d\n" % (len(objs) + 1)).encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += ("%010d 00000 n \n" % off).encode()
+    out += ("trailer\n<< /Size %d /Root 1 0 R /Info 4 0 R >>\n"
+            "startxref\n%d\n%%%%EOF" % (len(objs) + 1, xref_at)).encode()
+
+    line = doc_metadata(DocumentParser(bytes(out)))
+    assert line == ("Schrödinger|a\\x7cb|||ABC|||2")
+    # formatter round-trip sanity: same inputs, same line
+    assert line == metadata_line(
+        {"Title": title_utf16, "Author": b"a|b", "Producer": b"ABC"}, 2)

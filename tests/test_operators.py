@@ -621,3 +621,21 @@ def test_bigram_pmi_ranks_exclusive_pair_top(spark):
     assert (by_rank[0]["w1"], by_rank[0]["w2"]) == ("spark", "catalyst")
     ranks = [r["rank"] for r in by_rank]
     assert ranks == list(range(1, len(ranks) + 1))
+
+
+def test_user_state_intervals_chain(spark, queries):
+    """SCD2 contract: per user, intervals tile the event history — each
+    valid_to equals the next valid_from, exactly one open interval per
+    user (sentinel -1), and interval count == event count."""
+    rows = queries["user_state_intervals"].fn(spark, SF).collect()
+    ev_n = spark.read.parquet(SF + "/events.parquet").count()
+    assert len(rows) == ev_n
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for user, ivs in by_user.items():
+        ivs.sort(key=lambda r: r["valid_from_us"])
+        assert sum(r["is_current"] for r in ivs) == 1
+        assert ivs[-1]["is_current"] and ivs[-1]["valid_to_us"] == -1
+        for a, b in zip(ivs, ivs[1:]):
+            assert a["valid_to_us"] == b["valid_from_us"]

@@ -43,7 +43,7 @@ def main():
     with open(os.path.join(GOLDEN_DIR, "manifest.json")) as fh:
         manifest = json.load(fh)
     urls, extracted, md5s, ok, n_objects, n_pages = [], [], [], [], [], []
-    uni_md5s, n_fonts, fonts_md5s = [], [], []
+    uni_md5s, n_fonts, fonts_md5s, meta_md5s = [], [], [], []
     for url, entry in sorted(manifest.items()):
         urls.append(url)
         ok.append(entry["parse_ok"])
@@ -60,6 +60,7 @@ def main():
             n_pages.append(entry["n_pages"])
             n_fonts.append(entry["n_fonts"])
             fonts_md5s.append(entry["fonts_md5"])
+            meta_md5s.append(entry["meta_md5"])
         else:
             extracted.append(None)
             md5s.append(None)
@@ -68,6 +69,7 @@ def main():
             n_pages.append(None)
             n_fonts.append(None)
             fonts_md5s.append(None)
+            meta_md5s.append(None)
     oracle = pa.table({
         "url": pa.array(urls, pa.string()),
         "extracted": pa.array(extracted, pa.binary()),
@@ -78,6 +80,7 @@ def main():
         "n_pages": pa.array(n_pages, pa.int32()),
         "n_fonts": pa.array(n_fonts, pa.int32()),
         "fonts_md5": pa.array(fonts_md5s, pa.string()),
+        "meta_md5": pa.array(meta_md5s, pa.string()),
     })
     pq.write_table(oracle, os.path.join(FIXTURE_DIR, "oracle.parquet"))
     print("wrote %d pages rows, %d oracle rows -> %s"

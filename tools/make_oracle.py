@@ -289,6 +289,28 @@ def _pages_with_resources_ref(parser):
     return out
 
 
+def oracle_doc_metadata(payload: bytes, password) -> str:
+    """Info-dictionary + annotation census through the REFERENCE parser,
+    formatted by the SHARED kernel.docmeta.metadata_line (K49 gate)."""
+    from pdf4py_spark.kernel.docmeta import METADATA_KEYS, metadata_line
+
+    parser = Parser(payload, password)
+    info = _rr(parser, parser.trailer.get("Info"))
+    raw = {}
+    if isinstance(info, dict):
+        for key in METADATA_KEYS:
+            b = _string_bytes(_rr(parser, info.get(key)))
+            if b is not None:
+                raw[key] = bytes(b)
+    n_annots = 0
+    for page, _resources in _pages_with_resources_ref(parser):
+        annots = _rr(parser, page.get("Annots")
+                     if isinstance(page, dict) else None)
+        if isinstance(annots, list):
+            n_annots += len(annots)
+    return metadata_line(raw, n_annots)
+
+
 def oracle_fonts_census(payload: bytes, password):
     """(n_fonts, census_text) through the REFERENCE parser, formatted by
     the SHARED kernel.fonts.font_census_line (the kernel twin is
@@ -349,6 +371,7 @@ def main():
                 fh.write(uni)
             n_fonts, census = oracle_fonts_census(
                 payload, password_for(url))
+            meta_line = oracle_doc_metadata(payload, password_for(url))
             entry = {
                 "parse_ok": True,
                 "bin": name,
@@ -358,6 +381,8 @@ def main():
                 "n_fonts": n_fonts,
                 "fonts_md5": hashlib.md5(
                     census.encode("utf-8")).hexdigest(),
+                "meta_md5": hashlib.md5(
+                    meta_line.encode("utf-8")).hexdigest(),
                 "n_objects": n_objects,
                 "n_pages": n_pages,
                 "version": version,
