@@ -110,6 +110,7 @@ BENCH_QUERIES = (
     "extract_html_roundtrip",
     "extract_pdf_fonts",
     "extract_pdf_metadata",
+    "extract_pdf_links",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_minhash_clusters",

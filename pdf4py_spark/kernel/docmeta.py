@@ -39,3 +39,9 @@ def metadata_line(info_raw: dict, n_annots: int) -> str:
                     .replace("\n", "\\n").replace("\r", "\\r"))
     vals.append(str(n_annots))
     return "|".join(vals)
+
+
+def links_line(uris) -> str:
+    """Canonical outlink census: sorted distinct URI strings, one per
+    line (occurrence counts are carried separately by the callers)."""
+    return "\n".join(sorted(set(uris)))

@@ -432,3 +432,47 @@ def doc_metadata(doc: DocumentParser) -> str:
         if isinstance(annots, list):
             n_annots += len(annots)
     return metadata_line(raw, n_annots)
+
+
+def doc_links(doc: DocumentParser):
+    """Outlink census (K50): URI targets of Link annotations (PDF 1.7
+    §12.5.6.5 + §12.6.4.7) across all pages — the outlink source a
+    crawl pipeline feeds its frontier/link graph from. Returns
+    (n_links, canonical census line); the formatter is the SHARED
+    kernel.docmeta.links_line, mirrored over the reference parser by
+    tools/make_oracle.py."""
+    from .docmeta import decode_text_string, links_line
+
+    uris = []
+    for page, _resources in pages_with_resources(doc):
+        annots = page.get("Annots") if isinstance(page, dict) else None
+        if isinstance(annots, Ref):
+            try:
+                annots = doc.resolve(annots)
+            except Exception:  # noqa: BLE001
+                annots = None
+        if not isinstance(annots, list):
+            continue
+        for aref in annots:
+            annot = doc.resolve(aref) if isinstance(aref, Ref) else aref
+            if not isinstance(annot, dict) \
+                    or annot.get("Subtype") != "Link":
+                continue
+            action = annot.get("A")
+            if isinstance(action, Ref):
+                try:
+                    action = doc.resolve(action)
+                except Exception:  # noqa: BLE001
+                    continue
+            if not isinstance(action, dict) or action.get("S") != "URI":
+                continue
+            uri = action.get("URI")
+            if isinstance(uri, Ref):
+                try:
+                    uri = doc.resolve(uri)
+                except Exception:  # noqa: BLE001
+                    continue
+            raw = _raw_string(uri)
+            if raw is not None:
+                uris.append(decode_text_string(raw))
+    return len(uris), links_line(uris)

@@ -263,6 +263,61 @@ WHERE parse_ok
 """.format(oracle=FIXTURE_ORACLE)
 
 
+def _doc_links_batches(batches):
+    import pandas as pd
+
+    from ..kernel.parser import DocumentParser
+    from ..kernel.textextract import doc_links
+
+    for pdf in batches:
+        out = {"url": [], "n_links": [], "links": []}
+        for url, payload, password, pw_bytes in zip(
+                pdf["url"], pdf["html"], pdf["password"],
+                pdf["password_is_bytes"]):
+            data = bytes(payload)
+            if not data.startswith(b"%PDF-"):
+                continue
+            pw = password if isinstance(password, str) else None
+            if pw is not None and pw_bytes:
+                pw = pw.encode("utf-8")
+            try:
+                n, line = doc_links(DocumentParser(data, password=pw))
+            except Exception:  # noqa: BLE001 - parse failure: no row
+                continue
+            out["url"].append(url)
+            out["n_links"].append(n)
+            out["links"].append(line)
+        yield pd.DataFrame(out)
+
+
+def extract_pdf_links(spark, sf_dir):
+    """Outlink census gate (K50): URI targets of Link annotations — the
+    outlink source a crawl pipeline feeds its frontier/link graph from —
+    resolved by OUR parser must match the REFERENCE parser's walk, both
+    formatted through the shared kernel.docmeta.links_line (sorted
+    distinct URIs; total occurrence count carried separately)."""
+    from ..sources.pages import passwords_df
+
+    pages = (spark.read.parquet(FIXTURE_PAGES)
+             .join(F.broadcast(passwords_df(spark)), "url", "left")
+             .select("url", "html", "password", "password_is_bytes")
+             .repartition(4, "url"))
+    links = pages.mapInPandas(
+        _doc_links_batches,
+        schema="url string, n_links int, links string")
+    ref_ok = (spark.read.parquet(FIXTURE_ORACLE)
+              .where("parse_ok").select("url"))
+    return (links.join(F.broadcast(ref_ok), "url")
+            .select("url", "n_links", F.md5("links").alias("links_md5")))
+
+
+PDF_LINKS_SQL = """
+SELECT url, CAST(n_links AS INT) AS n_links, links_md5
+FROM read_parquet('{oracle}')
+WHERE parse_ok
+""".format(oracle=FIXTURE_ORACLE)
+
+
 def extract_quarantine_counts(spark, sf_dir):
     """Totality contract: every corpus row lands in exactly one status."""
     result = _fixture_extraction(spark)
@@ -346,6 +401,7 @@ QUERIES = {
     "extract_pdf_fonts": QuerySpec(extract_pdf_fonts, PDF_FONTS_SQL),
     "extract_pdf_metadata": QuerySpec(extract_pdf_metadata,
                                       PDF_METADATA_SQL),
+    "extract_pdf_links": QuerySpec(extract_pdf_links, PDF_LINKS_SQL),
     "extract_quarantine_counts": QuerySpec(extract_quarantine_counts,
                                            QUARANTINE_SQL),
 }

@@ -176,7 +176,12 @@ def identity_h_pdf() -> bytes:
         b"<< /Type /Catalog /Pages 2 0 R >>",                      # 1
         b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",              # 2
         (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
-         b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R "
+         b"/Contents 4 0 R /Annots ["
+         b"<< /Type /Annot /Subtype /Link /Rect [0 0 10 10] "
+         b"/A << /S /URI /URI (https://example.org/a) >> >> "
+         b"<< /Type /Annot /Subtype /Link /Rect [0 0 10 10] "
+         b"/A << /S /URI /URI (https://example.org/b) >> >>] "
+         b"/Resources << /Font << /F1 5 0 R "
          b"/F2 8 0 R /F3 11 0 R /F4 18 0 R >> >> >>"),             # 3
         stream_obj(content),                                       # 4
         type0(6),                                                  # 5  F1

@@ -240,3 +240,15 @@ def test_doc_metadata_decodes_info_and_counts_annots():
     # formatter round-trip sanity: same inputs, same line
     assert line == metadata_line(
         {"Title": title_utf16, "Author": b"a|b", "Producer": b"ABC"}, 2)
+
+
+def test_doc_links_census():
+    """K50 outlinks: the synthesized fixture carries two Link/URI
+    annotations; both collected, sorted distinct census line."""
+    from pdf4py_spark.kernel.parser import DocumentParser
+    from pdf4py_spark.kernel.textextract import doc_links
+    from pdf4py_spark.sources.synthpdf import identity_h_pdf
+
+    n, line = doc_links(DocumentParser(identity_h_pdf()))
+    assert n == 2
+    assert line == "https://example.org/a\nhttps://example.org/b"

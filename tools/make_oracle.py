@@ -372,6 +372,8 @@ def main():
             n_fonts, census = oracle_fonts_census(
                 payload, password_for(url))
             meta_line = oracle_doc_metadata(payload, password_for(url))
+            n_links, links_line_s = oracle_doc_links(
+                payload, password_for(url))
             entry = {
                 "parse_ok": True,
                 "bin": name,
@@ -383,6 +385,9 @@ def main():
                     census.encode("utf-8")).hexdigest(),
                 "meta_md5": hashlib.md5(
                     meta_line.encode("utf-8")).hexdigest(),
+                "n_links": n_links,
+                "links_md5": hashlib.md5(
+                    links_line_s.encode("utf-8")).hexdigest(),
                 "n_objects": n_objects,
                 "n_pages": n_pages,
                 "version": version,
@@ -395,6 +400,35 @@ def main():
     with open(os.path.join(GOLDEN_DIR, "manifest.json"), "w") as fh:
         json.dump(manifest, fh, indent=1, sort_keys=True)
     print("wrote", os.path.join(GOLDEN_DIR, "manifest.json"))
+
+
+
+
+
+def oracle_doc_links(payload: bytes, password):
+    """Outlink census through the REFERENCE parser (K50 gate), shared
+    formatter kernel.docmeta.links_line."""
+    from pdf4py_spark.kernel.docmeta import decode_text_string, links_line
+
+    parser = Parser(payload, password)
+    uris = []
+    for page, _resources in _pages_with_resources_ref(parser):
+        annots = _rr(parser, page.get("Annots")
+                     if isinstance(page, dict) else None)
+        if not isinstance(annots, list):
+            continue
+        for aref in annots:
+            annot = _rr(parser, aref)
+            if not isinstance(annot, dict) \
+                    or annot.get("Subtype") != "Link":
+                continue
+            action = _rr(parser, annot.get("A"))
+            if not isinstance(action, dict) or action.get("S") != "URI":
+                continue
+            raw = _string_bytes(_rr(parser, action.get("URI")))
+            if raw is not None:
+                uris.append(decode_text_string(bytes(raw)))
+    return len(uris), links_line(uris)
 
 
 if __name__ == "__main__":
