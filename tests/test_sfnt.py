@@ -85,3 +85,42 @@ def test_identity_h_without_fontfile_still_replacement():
     dec = build_font_decoder(
         {"type0": True, "identity": True, "fontfile": b"garbage"})
     assert dec(b"\x00\x05") == "�"
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(min_size=0, max_size=400))
+def test_sfnt_fuzz_total(data):
+    """Totality: arbitrary bytes either parse to a dict or raise the
+    typed SfntError — never any other exception (the decoder falls back
+    to U+FFFD on SfntError; anything else would crash an executor)."""
+    try:
+        out = unicode_to_gid(data)
+        assert isinstance(out, dict)
+    except SfntError:
+        pass
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(min_size=0, max_size=300), st.integers(0, 3))
+def test_sfnt_fuzz_mutated_valid_font(tail, which):
+    """Structured fuzz: a VALID font with its table area truncated /
+    overwritten must stay total too (exercises the bounds checks past
+    the header, which random bytes rarely reach)."""
+    font, _ = make_truetype(EXPECTED_F1, fmt=4)
+    if which == 0:
+        data = font[: max(12, len(font) - len(tail) - 1)] + tail
+    elif which == 1:
+        data = font[:30] + tail + font[30 + len(tail):]
+    elif which == 2:
+        data = font[:60] + tail + font[60 + len(tail):]
+    else:
+        data = font + tail
+    try:
+        out = unicode_to_gid(data)
+        assert isinstance(out, dict)
+    except SfntError:
+        pass
