@@ -27,6 +27,10 @@ import zlib
 
 PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
+#: max decoded pixel count (64 Mpx ~ 192 MB RGB) — bounds the inflate
+#: budget a hostile IHDR can demand
+MAX_PIXELS = 1 << 26
+
 #: bytes per pixel by color type (8-bit depth only)
 _BPP = {0: 1, 2: 3}
 
@@ -154,6 +158,13 @@ def decode_png(data: bytes) -> dict:
     width, height, bit_depth, color_type, comp, filt, interlace = ihdr
     if width == 0 or height == 0:
         raise PngError("zero image dimension")
+    # the bounded-inflate cap below is DERIVED from these dimensions,
+    # so they must themselves be bounded first — otherwise a hostile
+    # IHDR declaring 2^20 x 2^20 makes 'expected' ~4e12 and the cap
+    # meaningless (review finding)
+    if width * height > MAX_PIXELS:
+        raise PngError("declared dimensions %dx%d exceed pixel cap"
+                       % (width, height))
     if comp != 0 or filt != 0:
         raise PngError("unknown compression/filter method")
     if interlace != 0:

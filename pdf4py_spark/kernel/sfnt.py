@@ -27,6 +27,12 @@ MAX_MAPPED = 1 << 16
 #: per-group span cap for format 12 (a group claiming 2^31 chars is an
 #: attack, not a font)
 MAX_GROUP_SPAN = 1 << 16
+#: total LOOP iterations across a subtable parse — caps CPU, not just
+#: retained entries: a hostile font whose segments/groups all map gid 0
+#: or out-of-range codepoints retains nothing, so MAX_MAPPED alone
+#: would never fire while each group still burns 64k iterations
+#: (review finding: 200 such groups in a 2.4 KB font cost ~1 s)
+MAX_SCAN = 1 << 18
 MAX_TABLES = 64
 MAX_SUBTABLES = 32
 
@@ -82,6 +88,7 @@ def _parse_format4(data, off):
     deltas = starts + seg_x2
     ranges = deltas + seg_x2
     out = {}
+    scanned = 0
     for i in range(seg):
         end = _u16(data, ends + 2 * i)
         start = _u16(data, starts + 2 * i)
@@ -91,7 +98,8 @@ def _parse_format4(data, off):
         roff_pos = ranges + 2 * i
         roff = _u16(data, roff_pos)
         for c in range(start, min(end, 0xFFFE) + 1):
-            if len(out) >= MAX_MAPPED:
+            scanned += 1
+            if len(out) >= MAX_MAPPED or scanned > MAX_SCAN:
                 return out
             if roff == 0:
                 gid = (c + delta) & 0xFFFF
@@ -107,13 +115,15 @@ def _parse_format4(data, off):
 def _parse_format12(data, off):
     n_groups = _u32(data, off + 12)
     out = {}
+    scanned = 0
     for i in range(n_groups):
         g = off + 16 + 12 * i
         start, end, gid0 = _u32(data, g), _u32(data, g + 4), _u32(data, g + 8)
         if end < start or end - start > MAX_GROUP_SPAN:
             raise SfntError("format12 group span %d" % (end - start))
         for k in range(end - start + 1):
-            if len(out) >= MAX_MAPPED:
+            scanned += 1
+            if len(out) >= MAX_MAPPED or scanned > MAX_SCAN:
                 return out
             c, gid = start + k, gid0 + k
             if gid and c <= 0x10FFFF:
@@ -163,13 +173,19 @@ def unicode_to_gid(data: bytes) -> dict:
         raise SfntError("%d cmap subtables" % n_sub)
     best = None
     for i in range(n_sub):
-        rec = cmap + 4 + 8 * i
-        plat, enc = _u16(data, rec), _u16(data, rec + 2)
-        sub = cmap + _u32(data, rec + 4)
-        rank = _PLATFORM_RANK.get((plat, enc))
-        if rank is None:
+        # a corrupt RECORD (offset past EOF, junk format) must not
+        # abort the whole font while a later valid subtable could
+        # still recover text — skip it and keep scanning
+        try:
+            rec = cmap + 4 + 8 * i
+            plat, enc = _u16(data, rec), _u16(data, rec + 2)
+            sub = cmap + _u32(data, rec + 4)
+            rank = _PLATFORM_RANK.get((plat, enc))
+            if rank is None:
+                continue
+            fmt = _u16(data, sub)
+        except SfntError:
             continue
-        fmt = _u16(data, sub)
         if fmt not in _PARSERS:
             continue
         if best is None or rank < best[0]:

@@ -192,15 +192,24 @@ def bigram_pmi(spark, sf_dir):
     from pyspark.storagelevel import StorageLevel
 
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = docs.withColumn("toks", F.split("text", " "))
-    words = (toks.select(F.posexplode("toks").alias("pos", "w"),
-                         F.size("toks").alias("n"), "toks")
-             .persist(StorageLevel.MEMORY_AND_DISK))
+    # persist the LINEAR per-doc token array once (one row per doc);
+    # the unigram explode and the per-row bigram-pair construction both
+    # derive from it. Exploded rows never carry the whole array — a
+    # persisted (pos, w, toks) relation would cache O(len^2) cells per
+    # document (review finding).
+    toks = (docs.withColumn("toks", F.split("text", " "))
+            .select("doc_id", "toks")
+            .persist(StorageLevel.MEMORY_AND_DISK))
+    words = toks.select(F.explode("toks").alias("w"))
     uni = (words.groupBy("w").agg(F.count("*").alias("c"))
            .persist(StorageLevel.MEMORY_AND_DISK))
     n_total = words.groupBy().agg(F.count("*").alias("nt"))
-    bi = (words.where(F.col("pos") < F.col("n") - 1)
-          .select("w", F.expr("element_at(toks, pos + 2)").alias("w2"))
+    bi = (toks.where(F.size("toks") >= 2)  # sequence(1,0) would run
+          .select(F.explode(F.expr(       # DESCENDING on 1-token docs
+              "transform(sequence(1, size(toks) - 1),"
+              " i -> struct(element_at(toks, i) as w,"
+              " element_at(toks, i + 1) as w2))")).alias("p"))
+          .select("p.w", "p.w2")
           .groupBy("w", "w2").agg(F.count("*").alias("c_ab"))
           .where(F.col("c_ab") >= PMI_MIN_COUNT))
     scored = (bi

@@ -145,6 +145,24 @@ WHERE parse_ok
 """.format(oracle=FIXTURE_ORACLE)
 
 
+def _fixture_pdf_rows(pdf):
+    """Shared per-batch iteration for the fixture-PDF census kernels:
+    yields (url, data, password) for each %PDF- payload, applying the
+    str-vs-bytes password rule once (review finding: this preamble was
+    copy-pasted into every census generator, so a password-handling
+    change could silently diverge between gates)."""
+    for url, payload, password, pw_bytes in zip(
+            pdf["url"], pdf["html"], pdf["password"],
+            pdf["password_is_bytes"]):
+        data = bytes(payload)
+        if not data.startswith(b"%PDF-"):
+            continue
+        pw = password if isinstance(password, str) else None
+        if pw is not None and pw_bytes:
+            pw = pw.encode("utf-8")
+        yield url, data, pw
+
+
 def _fonts_census_batches(batches):
     import pandas as pd
 
@@ -153,15 +171,7 @@ def _fonts_census_batches(batches):
 
     for pdf in batches:
         out = {"url": [], "n_fonts": [], "census": []}
-        for url, payload, password, pw_bytes in zip(
-                pdf["url"], pdf["html"], pdf["password"],
-                pdf["password_is_bytes"]):
-            data = bytes(payload)
-            if not data.startswith(b"%PDF-"):
-                continue
-            pw = password if isinstance(password, str) else None
-            if pw is not None and pw_bytes:
-                pw = pw.encode("utf-8")
+        for url, data, pw in _fixture_pdf_rows(pdf):
             try:
                 doc = DocumentParser(data, password=pw)
                 n, census = fonts_census(doc)
@@ -215,15 +225,7 @@ def _doc_metadata_batches(batches):
 
     for pdf in batches:
         out = {"url": [], "meta": []}
-        for url, payload, password, pw_bytes in zip(
-                pdf["url"], pdf["html"], pdf["password"],
-                pdf["password_is_bytes"]):
-            data = bytes(payload)
-            if not data.startswith(b"%PDF-"):
-                continue
-            pw = password if isinstance(password, str) else None
-            if pw is not None and pw_bytes:
-                pw = pw.encode("utf-8")
+        for url, data, pw in _fixture_pdf_rows(pdf):
             try:
                 doc = DocumentParser(data, password=pw)
                 line = doc_metadata(doc)
@@ -271,15 +273,7 @@ def _doc_links_batches(batches):
 
     for pdf in batches:
         out = {"url": [], "n_links": [], "links": []}
-        for url, payload, password, pw_bytes in zip(
-                pdf["url"], pdf["html"], pdf["password"],
-                pdf["password_is_bytes"]):
-            data = bytes(payload)
-            if not data.startswith(b"%PDF-"):
-                continue
-            pw = password if isinstance(password, str) else None
-            if pw is not None and pw_bytes:
-                pw = pw.encode("utf-8")
+        for url, data, pw in _fixture_pdf_rows(pdf):
             try:
                 n, line = doc_links(DocumentParser(data, password=pw))
             except Exception:  # noqa: BLE001 - parse failure: no row

@@ -46,14 +46,18 @@ STREAM_TMP = ("/dev/shm/pdf4py_spark_stream"
                                 "pdf4py_spark_stream"))
 
 
-def _stream_base(query_name):
-    """Deterministic per-query scratch dir, CLEARED on entry — repeated
-    bench/gate runs reuse one slot instead of accumulating a fresh
-    uuid-named sink (in RAM, on tmpfs) per invocation. Consequence: a
-    DataFrame returned by a previous invocation of the same query is
-    invalidated when the next one starts; every consumer here collects
-    before re-invoking."""
-    base = os.path.join(STREAM_TMP, query_name)
+def _stream_base(spark, query_name):
+    """Deterministic per-(session, query) scratch dir, CLEARED on entry
+    — repeated bench/gate runs within a session reuse one slot instead
+    of accumulating a fresh uuid-named sink (in RAM, on tmpfs) per
+    invocation, while the applicationId component keeps CONCURRENT
+    processes from rmtree-ing each other's live checkpoints (review
+    finding). Consequence: a DataFrame returned by a previous
+    invocation of the same query in the same session is invalidated
+    when the next one starts; every consumer here collects before
+    re-invoking."""
+    base = os.path.join(STREAM_TMP, spark.sparkContext.applicationId,
+                        query_name)
     shutil.rmtree(base, ignore_errors=True)
     os.makedirs(base, exist_ok=True)
     return base
@@ -106,7 +110,7 @@ class _drain_conf:
 def events_hourly_stream(spark, sf_dir):
     from ..streaming.windowed import EVENTS_SCHEMA
 
-    out = _stream_base("events_hourly_stream")
+    out = _stream_base(spark, "events_hourly_stream")
     stream = (spark.readStream.schema(EVENTS_SCHEMA)
               .option("pathGlobFilter", "events.parquet")
               .parquet(sf_dir))
@@ -172,7 +176,7 @@ def sessions_stream(spark, sf_dir):
     """
     from ..streaming.stateful import sessionize_stream
 
-    base = _stream_base("sessions_stream")
+    base = _stream_base(spark, "sessions_stream")
     src, out = os.path.join(base, "in"), os.path.join(base, "out")
     with _drain_conf(spark, src):
         ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
@@ -244,7 +248,7 @@ def dedup_stream(spark, sf_dir):
     (review finding: a doc_id-derived slot only co-times the injected
     pairs, and a natural duplicate landing > horizon apart would
     re-emit after eviction)."""
-    base = _stream_base("dedup_stream")
+    base = _stream_base(spark, "dedup_stream")
     src, out = os.path.join(base, "in"), os.path.join(base, "out")
     with _drain_conf(spark, src):
         docs = (spark.read

@@ -45,9 +45,14 @@ def test_correctness_artifact_covers_all_queries():
 
     import __spark_entry__ as entry_mod
 
-    arts = sorted(glob.glob(
-        os.path.join(os.path.dirname(entry_mod.__file__),
-                     "CORRECTNESS_r*.json")))
+    import re
+
+    # sort by ROUND NUMBER, not lexicographically: 'r10' < 'r4' as a
+    # string, which would silently validate against a stale artifact
+    arts = sorted(
+        glob.glob(os.path.join(os.path.dirname(entry_mod.__file__),
+                               "CORRECTNESS_r*.json")),
+        key=lambda p: int(re.search(r"_r(\d+)", p).group(1)))
     if not arts:
         pytest.skip("no driver correctness artifact yet")
     with open(arts[-1]) as fh:

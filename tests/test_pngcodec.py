@@ -209,3 +209,20 @@ def test_truncated_idat_stream_raises():
            + _chunk(b"IEND", b""))
     with pytest.raises(PngError):
         decode_png(bad)
+
+
+def test_hostile_dimensions_rejected_before_inflate():
+    """Review finding: the inflate cap derives from IHDR dimensions, so
+    a 2^20 x 2^20 declaration would make the cap meaningless — the
+    pixel-count guard must fire first (no large allocation)."""
+    import resource
+
+    ihdr = struct.pack(">IIBBBBB", 1 << 20, 1 << 20, 8, 0, 0, 0, 0)
+    bomb = (PNG_SIGNATURE + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(b"\x00" * (4 * 2**20)))
+            + _chunk(b"IEND", b""))
+    before = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    with pytest.raises(PngError, match="pixel cap"):
+        decode_png(bomb)
+    after = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    assert after - before < 50 * 1024

@@ -124,3 +124,43 @@ def test_sfnt_fuzz_mutated_valid_font(tail, which):
         assert isinstance(out, dict)
     except SfntError:
         pass
+
+
+def test_hostile_font_cpu_bounded():
+    """Review finding: groups that retain nothing (gid 0 / out-of-range
+    codepoints) must not bypass the scan budget — 2000 empty 64k-spans
+    would be ~1.3e8 iterations unbounded; with MAX_SCAN it returns in
+    well under a second."""
+    import time
+
+    from pdf4py_spark.sources.synthpdf import _sfnt
+    groups = [struct.pack(">III", 0x200000 + i * 0x20000,
+                          0x200000 + i * 0x20000 + 0xFFFF, 1)
+              for i in range(2000)]
+    sub = struct.pack(">HHIII", 12, 0, 16 + 12 * len(groups), 0,
+                      len(groups)) + b"".join(groups)
+    cmap = struct.pack(">HHHHI", 0, 1, 3, 10, 12) + sub
+    font = _sfnt({"cmap": cmap})
+    t0 = time.perf_counter()
+    out = unicode_to_gid(font)
+    assert time.perf_counter() - t0 < 2.0
+    assert out == {}
+
+
+def test_corrupt_first_subtable_record_does_not_abort_font():
+    """Review finding: a record whose offset points past EOF must be
+    skipped, not abort the font, when a later valid subtable exists."""
+    font, char_to_gid = make_truetype(EXPECTED_F1, fmt=4)
+    # prepend a (3,1) record with a hostile offset before the real one
+    cmap_off = font.find(b"cmap")
+    import struct as _s
+    table_off = _s.unpack(">I", font[cmap_off + 8:cmap_off + 12])[0]
+    # rebuild the cmap table with 2 records: bad first, good second
+    good_sub = font[table_off + 12:]  # the format-4 subtable bytes
+    new_cmap = (_s.pack(">HH", 0, 2)
+                + _s.pack(">HHI", 3, 1, 0xFFFFFF)   # bad offset
+                + _s.pack(">HHI", 3, 1, 20)          # good record
+                + good_sub)
+    from pdf4py_spark.sources.synthpdf import _sfnt
+    rebuilt = _sfnt({"cmap": new_cmap})
+    assert unicode_to_gid(rebuilt) == char_to_gid
