@@ -122,6 +122,7 @@ BENCH_QUERIES = (
     "ann_bucketed_topk",
     "ann_lsh_topk",
     "lang_id",
+    "lang_confusion",
     "text_quality",
     "token_rollup",
     "token_count_bpe",
@@ -145,6 +146,7 @@ BENCH_QUERIES = (
     "media_wav_decode",
     "media_png_decode",
     "url_canonicalize",
+    "url_filter_blocklist",
     "domain_rollup",
     "corpus_split",
     "tokenize_bpe",

@@ -116,6 +116,44 @@ FROM documents d LEFT JOIN (SELECT * FROM best WHERE rk = 1) b
 """.format(stop=_stop_values_sql())
 
 
+def lang_confusion(spark, sf_dir):
+    """Classifier-evaluation rollup for the language-ID heuristic: the
+    (labeled, predicted) confusion matrix with per-cell recall share —
+    the QA table a curation pipeline watches when it changes its lang
+    filter. Composes the gated lang_id operator, then ONE hash
+    aggregate + a broadcast-size per-label window for the share; the
+    share is a single IEEE division of exact counts (bit-identical in
+    both engines, no rounding needed)."""
+    from pyspark.sql import Window
+
+    pred = lang_id(spark, sf_dir)
+    cells = (pred.groupBy(
+        F.col("labeled_lang"), F.col("predicted_lang"))
+        .agg(F.count("*").alias("n_docs")))
+    w = Window.partitionBy("labeled_lang")
+    return cells.select(
+        "labeled_lang", "predicted_lang", "n_docs",
+        (F.col("n_docs").cast("double")
+         / F.sum("n_docs").over(w).cast("double")).alias("label_share"),
+        (F.col("labeled_lang") == F.col("predicted_lang"))
+        .alias("is_correct"))
+
+
+LANG_CONFUSION_SQL = """
+WITH pred AS ({lang_id}),
+cells AS (
+  SELECT labeled_lang, predicted_lang, COUNT(*) AS n_docs
+  FROM pred GROUP BY labeled_lang, predicted_lang
+)
+SELECT labeled_lang, predicted_lang, n_docs,
+       CAST(n_docs AS DOUBLE) /
+       CAST(SUM(n_docs) OVER (PARTITION BY labeled_lang) AS DOUBLE)
+         AS label_share,
+       labeled_lang = predicted_lang AS is_correct
+FROM cells
+""".format(lang_id=LANG_ID_SQL)
+
+
 def token_rollup(spark, sf_dir):
     """Corpus token accounting per (lang, source): the sizing query every
     training-data pipeline starts with."""
@@ -540,6 +578,7 @@ QUERIES = {
     "curated_corpus": QuerySpec(curated_corpus, CURATED_SQL),
     "text_quality": QuerySpec(text_quality, TEXT_QUALITY_SQL),
     "lang_id": QuerySpec(lang_id, LANG_ID_SQL),
+    "lang_confusion": QuerySpec(lang_confusion, LANG_CONFUSION_SQL),
     "token_rollup": QuerySpec(token_rollup, TOKEN_ROLLUP_SQL),
     "fingerprint": QuerySpec(fingerprint, FINGERPRINT_SQL),
     "winnow_fingerprints": QuerySpec(winnow_fingerprints, WINNOW_SQL),

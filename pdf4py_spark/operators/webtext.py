@@ -188,6 +188,94 @@ FROM (SELECT *, string_split(host, '.') AS labs FROM hosts) GROUP BY 1
            domain=registrable_domain_sql("labs"))
 
 
+#: crawl blocklist dim (deterministic fixture; production loads a real
+#: policy table): registrable domain + path prefix ('' blocks the whole
+#: domain). Chosen to hit the synthetic corpus: mirror.net entirely,
+#: plus one path slice of crawl.dev.
+BLOCKLIST = (
+    ("mirror.net", ""),
+    ("crawl.dev", "/Docs/1"),
+    ("spam.example", ""),          # exercises a no-match rule
+)
+
+
+def url_filter_blocklist(spark, sf_dir):
+    """Crawl-policy filtering: canonicalized URLs against a broadcast
+    (registrable_domain, path_prefix) blocklist — the fetch-policy /
+    takedown filter every crawl pipeline runs before extraction. The
+    blocklist is a tiny dim: broadcast hash join on the PSL registrable
+    domain, then a starts_with prefix test — no shuffle of the corpus
+    side beyond the scan, works unchanged at 10^12 rows because the
+    policy table stays broadcastable."""
+    docs = table(spark, sf_dir, "documents")
+    urls = _with_canonical(
+        docs.select("doc_id", F.expr(_RAW_URL).alias("url")))
+    rules = spark.createDataFrame(
+        list(BLOCKLIST), "domain string, path_prefix string")
+    path = F.regexp_extract(
+        "canonical_url", r"^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    hits = (urls.withColumn("path", path)
+            .join(F.broadcast(rules), "domain", "left")
+            .withColumn("hit", F.col("path_prefix").isNotNull()
+                        & F.col("path").startswith(
+                            F.coalesce("path_prefix", F.lit(""))))
+            .groupBy("doc_id", "canonical_url", "domain")
+            .agg(F.max(F.col("hit").cast("int")).alias("blocked_i")))
+    return hits.select(
+        "doc_id", "canonical_url", "domain",
+        (F.col("blocked_i") == 1).alias("blocked"))
+
+
+def _blocklist_values_sql():
+    rows = ", ".join("('%s', '%s')" % (d, p) for d, p in BLOCKLIST)
+    return "(VALUES %s) AS bl(domain, path_prefix)" % rows
+
+
+URL_FILTER_SQL = """
+WITH raw AS (
+  SELECT doc_id, {raw_url} AS url FROM documents
+),
+parts AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+           AS scheme,
+         lower(regexp_extract(url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS auth,
+         regexp_extract(url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
+         regexp_extract(regexp_replace(url, '#.*$', ''),
+               '\\?([^#]*)', 1) AS query0
+  FROM raw
+),
+norm AS (
+  SELECT doc_id, url, scheme,
+         regexp_replace(auth, ':[0-9]+$', '') AS host,
+         regexp_extract(auth, ':([0-9]+)$', 1) AS port,
+         CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+         CASE WHEN query0 = '' THEN ''
+              ELSE '?' || array_to_string(
+                     list_sort(string_split(query0, '&')), '&') END AS q
+  FROM parts
+),
+canon AS (
+  SELECT doc_id,
+         scheme || '://' || host ||
+         CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
+                                    OR (scheme = 'https' AND port = '443'))
+              THEN ':' || port ELSE '' END || path || q AS canonical_url,
+         path,
+         {domain} AS domain
+  FROM (SELECT *, string_split(host, '.') AS labs FROM norm)
+)
+SELECT doc_id, canonical_url, canon.domain AS domain,
+       MAX(CASE WHEN bl.path_prefix IS NOT NULL
+                 AND starts_with(path, bl.path_prefix)
+            THEN 1 ELSE 0 END) = 1 AS blocked
+FROM canon LEFT JOIN {bl} ON canon.domain = bl.domain
+GROUP BY doc_id, canonical_url, canon.domain
+"""
+
+
 def corpus_split(spark, sf_dir):
     """Deterministic train/val/test assignment + sample flag — the
     reproducibility staple: bucket = first 16 bits of md5(doc_id) mod
@@ -225,6 +313,11 @@ FROM b
 
 QUERIES = {
     "url_canonicalize": QuerySpec(url_canonicalize, URL_CANON_SQL),
+    "url_filter_blocklist": QuerySpec(
+        url_filter_blocklist,
+        URL_FILTER_SQL.format(raw_url=_RAW_URL_SQL,
+                              domain=registrable_domain_sql("labs"),
+                              bl=_blocklist_values_sql())),
     "domain_rollup": QuerySpec(domain_rollup, DOMAIN_ROLLUP_SQL),
     "corpus_split": QuerySpec(corpus_split, CORPUS_SPLIT_SQL),
 }

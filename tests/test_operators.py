@@ -639,3 +639,32 @@ def test_user_state_intervals_chain(spark, queries):
         assert ivs[-1]["is_current"] and ivs[-1]["valid_to_us"] == -1
         for a, b in zip(ivs, ivs[1:]):
             assert a["valid_to_us"] == b["valid_from_us"]
+
+
+def test_url_filter_blocklist_semantics(spark, queries):
+    """Blocklist rules: whole-domain rule blocks every mirror.net page;
+    path-prefix rule blocks only crawl.dev docs under /Docs/1*; other
+    domains never blocked; non-vacuous both ways."""
+    rows = queries["url_filter_blocklist"].fn(spark, SF).collect()
+    n_docs = spark.read.parquet(SF + "/documents.parquet").count()
+    assert len(rows) == n_docs
+    blocked = [r for r in rows if r["blocked"]]
+    kept = [r for r in rows if not r["blocked"]]
+    assert blocked and kept
+    for r in rows:
+        if r["domain"] == "mirror.net":
+            assert r["blocked"]
+        elif r["domain"] == "crawl.dev":
+            assert r["blocked"] == ("/Docs/1" in r["canonical_url"])
+        else:
+            assert not r["blocked"]
+
+
+def test_lang_confusion_shares_sum_to_one(spark, queries):
+    rows = queries["lang_confusion"].fn(spark, SF).collect()
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r["labeled_lang"], []).append(r)
+        assert (r["labeled_lang"] == r["predicted_lang"]) == r["is_correct"]
+    for label, cells in by_label.items():
+        assert abs(sum(c["label_share"] for c in cells) - 1.0) < 1e-9
