@@ -6,18 +6,24 @@ entry()      — flagship: the full extraction pipeline (Catalyst dispatch ->
 queries()    — one entry per implemented operator (SURVEY.md §2): the
                extraction family (kernel-driven, including the byte-identity
                md5 gates over the reference-corpus fixture in raw AND
-               font/encoding-aware unicode modes), dedup (exact /
+               font/encoding-aware unicode modes — with embedded-font
+               Identity-H CID decode — plus fonts / Info-metadata /
+               outlink censuses across both parser stacks), dedup (exact /
                MinHash-LSH / clusters / true connected components / SimHash
-               / n-gram Jaccard / embedding cosine), similarity search
-               (brute-force, computed-IVF, sign-LSH), text analysis
-               (quality / lang-id / token rollup / fingerprint / BM25 /
-               exact quantiles), relational + windowed / sliding / as-of /
-               sessionized queries (incl. Q2-style argmin, Q8-style market
-               share, keep-latest CDC compaction), TWO Structured
-               Streaming legs (production-shape windowed aggregation AND
-               the custom stateful applyInPandasWithState sessionizer),
-               and multimodal (metadata, frame sampling, REAL wav and
-               REAL png decodes).
+               / n-gram Jaccard / embedding cosine / sub-document unit),
+               similarity search (brute-force, computed-IVF, sign-LSH),
+               text analysis (quality / repetition gates / lang-id +
+               confusion matrix / token rollup / fingerprint / BM25 /
+               exact quantiles / PMI collocations / trained merge-table
+               BPE), webtext (canonicalization, PSL registrable domains,
+               blocklist filtering, rollups, content-addressed splits),
+               relational + windowed / sliding / as-of / sessionized /
+               SCD2-interval queries (incl. Q2-style argmin, Q8-style
+               market share, keep-latest CDC compaction), THREE Structured
+               Streaming legs (production-shape windowed aggregation, the
+               custom stateful applyInPandasWithState sessionizer, and
+               bounded-state streaming dedup), and multimodal (metadata,
+               frame sampling, REAL wav and REAL png decodes).
 oracle_sql() — the DuckDB-equivalent ANSI SQL per query; every gated
                query carries an exact oracle (none are rows-only).
 """
