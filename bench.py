@@ -111,6 +111,7 @@ BENCH_QUERIES = (
     "extract_pdf_fonts",
     "extract_pdf_metadata",
     "extract_pdf_links",
+    "extract_pdf_xmp",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_minhash_clusters",

@@ -476,3 +476,32 @@ def doc_links(doc: DocumentParser):
             if raw is not None:
                 uris.append(decode_text_string(raw))
     return len(uris), links_line(uris)
+
+
+def doc_xmp(doc: DocumentParser):
+    """XMP metadata packet (K51): the catalog's /Metadata stream payload
+    — resolved through the full filter/decrypt chain — as (byte length,
+    md5 hex), or (0, "") when absent/unresolvable. The packet is pinned
+    as RAW BYTES deliberately: parsing the RDF/XML with stdlib
+    xml.etree would expose executors to entity-expansion attacks, and
+    byte identity across both parser stacks is the stronger gate
+    anyway (it covers catalog traversal + stream decode end to end)."""
+    import hashlib
+
+    try:
+        catalog = doc.resolve(doc.trailer["Root"])
+    except Exception:  # noqa: BLE001
+        return 0, ""
+    meta = catalog.get("Metadata") if isinstance(catalog, dict) else None
+    if isinstance(meta, Ref):
+        try:
+            meta = doc.resolve(meta)
+        except Exception:  # noqa: BLE001
+            return 0, ""
+    if not isinstance(meta, Stream):
+        return 0, ""
+    try:
+        payload = meta.payload()
+    except Exception:  # noqa: BLE001
+        return 0, ""
+    return len(payload), hashlib.md5(payload).hexdigest()

@@ -312,6 +312,53 @@ WHERE parse_ok
 """.format(oracle=FIXTURE_ORACLE)
 
 
+def _doc_xmp_batches(batches):
+    import pandas as pd
+
+    from ..kernel.parser import DocumentParser
+    from ..kernel.textextract import doc_xmp
+
+    for pdf in batches:
+        out = {"url": [], "xmp_bytes": [], "xmp_md5": []}
+        for url, data, pw in _fixture_pdf_rows(pdf):
+            try:
+                n, digest = doc_xmp(DocumentParser(data, password=pw))
+            except Exception:  # noqa: BLE001 - parse failure: no row
+                continue
+            out["url"].append(url)
+            out["xmp_bytes"].append(n)
+            out["xmp_md5"].append(digest)
+        yield pd.DataFrame(out)
+
+
+def extract_pdf_xmp(spark, sf_dir):
+    """XMP packet gate (K51): the catalog /Metadata stream payload's
+    (length, md5) through OUR parser's full filter/decrypt chain must
+    byte-match the REFERENCE parser's resolution. Raw-bytes pinning by
+    design — no XML parsing on executors (entity-expansion surface),
+    and byte identity is the stronger cross-stack check anyway."""
+    from ..sources.pages import passwords_df
+
+    pages = (spark.read.parquet(FIXTURE_PAGES)
+             .join(F.broadcast(passwords_df(spark)), "url", "left")
+             .select("url", "html", "password", "password_is_bytes")
+             .repartition(4, "url"))
+    xmp = pages.mapInPandas(
+        _doc_xmp_batches,
+        schema="url string, xmp_bytes int, xmp_md5 string")
+    ref_ok = (spark.read.parquet(FIXTURE_ORACLE)
+              .where("parse_ok").select("url"))
+    return xmp.join(F.broadcast(ref_ok), "url") \
+        .select("url", "xmp_bytes", "xmp_md5")
+
+
+PDF_XMP_SQL = """
+SELECT url, CAST(xmp_bytes AS INT) AS xmp_bytes, xmp_md5
+FROM read_parquet('{oracle}')
+WHERE parse_ok
+""".format(oracle=FIXTURE_ORACLE)
+
+
 def extract_quarantine_counts(spark, sf_dir):
     """Totality contract: every corpus row lands in exactly one status."""
     result = _fixture_extraction(spark)
@@ -396,6 +443,7 @@ QUERIES = {
     "extract_pdf_metadata": QuerySpec(extract_pdf_metadata,
                                       PDF_METADATA_SQL),
     "extract_pdf_links": QuerySpec(extract_pdf_links, PDF_LINKS_SQL),
+    "extract_pdf_xmp": QuerySpec(extract_pdf_xmp, PDF_XMP_SQL),
     "extract_quarantine_counts": QuerySpec(extract_quarantine_counts,
                                            QUARANTINE_SQL),
 }

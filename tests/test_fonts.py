@@ -252,3 +252,17 @@ def test_doc_links_census():
     n, line = doc_links(DocumentParser(identity_h_pdf()))
     assert n == 2
     assert line == "https://example.org/a\nhttps://example.org/b"
+
+
+def test_doc_xmp_absent_and_present():
+    """K51: absent /Metadata -> (0, ''); the reference corpus leg (12
+    docs with packets, byte-identical across stacks) is covered by the
+    gated query + tools/make_oracle differential."""
+    from pdf4py_spark.kernel.parser import DocumentParser
+    from pdf4py_spark.kernel.textextract import doc_xmp
+    from pdf4py_spark.sources.synthpdf import identity_h_pdf
+
+    assert doc_xmp(DocumentParser(identity_h_pdf())) == (0, "")
+    with open("/root/reference/tests/pdfs/0003.pdf", "rb") as fh:
+        n, digest = doc_xmp(DocumentParser(fh.read()))
+    assert n > 0 and len(digest) == 32

@@ -44,7 +44,7 @@ def main():
         manifest = json.load(fh)
     urls, extracted, md5s, ok, n_objects, n_pages = [], [], [], [], [], []
     uni_md5s, n_fonts, fonts_md5s, meta_md5s = [], [], [], []
-    n_links, links_md5s = [], []
+    n_links, links_md5s, xmp_bytes, xmp_md5s = [], [], [], []
     for url, entry in sorted(manifest.items()):
         urls.append(url)
         ok.append(entry["parse_ok"])
@@ -64,6 +64,8 @@ def main():
             meta_md5s.append(entry["meta_md5"])
             n_links.append(entry["n_links"])
             links_md5s.append(entry["links_md5"])
+            xmp_bytes.append(entry["xmp_bytes"])
+            xmp_md5s.append(entry["xmp_md5"])
         else:
             extracted.append(None)
             md5s.append(None)
@@ -75,6 +77,8 @@ def main():
             meta_md5s.append(None)
             n_links.append(None)
             links_md5s.append(None)
+            xmp_bytes.append(None)
+            xmp_md5s.append(None)
     oracle = pa.table({
         "url": pa.array(urls, pa.string()),
         "extracted": pa.array(extracted, pa.binary()),
@@ -88,6 +92,8 @@ def main():
         "meta_md5": pa.array(meta_md5s, pa.string()),
         "n_links": pa.array(n_links, pa.int32()),
         "links_md5": pa.array(links_md5s, pa.string()),
+        "xmp_bytes": pa.array(xmp_bytes, pa.int32()),
+        "xmp_md5": pa.array(xmp_md5s, pa.string()),
     })
     pq.write_table(oracle, os.path.join(FIXTURE_DIR, "oracle.parquet"))
     print("wrote %d pages rows, %d oracle rows -> %s"

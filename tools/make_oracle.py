@@ -374,6 +374,8 @@ def main():
             meta_line = oracle_doc_metadata(payload, password_for(url))
             n_links, links_line_s = oracle_doc_links(
                 payload, password_for(url))
+            xmp_bytes, xmp_md5 = oracle_doc_xmp(
+                payload, password_for(url))
             entry = {
                 "parse_ok": True,
                 "bin": name,
@@ -388,6 +390,8 @@ def main():
                 "n_links": n_links,
                 "links_md5": hashlib.md5(
                     links_line_s.encode("utf-8")).hexdigest(),
+                "xmp_bytes": xmp_bytes,
+                "xmp_md5": xmp_md5,
                 "n_objects": n_objects,
                 "n_pages": n_pages,
                 "version": version,
@@ -429,6 +433,24 @@ def oracle_doc_links(payload: bytes, password):
             if raw is not None:
                 uris.append(decode_text_string(bytes(raw)))
     return len(uris), links_line(uris)
+
+
+
+
+
+def oracle_doc_xmp(payload: bytes, password):
+    """Catalog /Metadata packet through the REFERENCE parser (K51)."""
+    parser = Parser(payload, password)
+    catalog = _rr(parser, parser.trailer["Root"])
+    meta = _rr(parser, catalog.get("Metadata")
+               if isinstance(catalog, dict) else None)
+    if not isinstance(meta, PDFStream):
+        return 0, ""
+    try:
+        data = bytes(meta.stream())
+    except Exception:
+        return 0, ""
+    return len(data), hashlib.md5(data).hexdigest()
 
 
 if __name__ == "__main__":
