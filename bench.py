@@ -112,6 +112,7 @@ BENCH_QUERIES = (
     "extract_pdf_metadata",
     "extract_pdf_links",
     "extract_pdf_xmp",
+    "extract_pdf_outline",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_minhash_clusters",

@@ -505,3 +505,63 @@ def doc_xmp(doc: DocumentParser):
     except Exception:  # noqa: BLE001
         return 0, ""
     return len(payload), hashlib.md5(payload).hexdigest()
+
+
+#: outline-walk bounds: node budget and child depth (hostile trees can
+#: cycle through First/Next; the walk is iterative + visited-checked)
+MAX_OUTLINE_NODES = 4096
+MAX_OUTLINE_DEPTH = 64
+
+
+def doc_outline(doc: DocumentParser):
+    """Bookmark/outline census (K52): the catalog /Outlines tree walked
+    First/Next (PDF 1.7 §12.3.3) into (count, canonical census) — one
+    'depth|title' line per item in document order, titles decoded per
+    §7.9.2.2 via the shared kernel.docmeta text-string rule. Iterative
+    walk with a node budget, a depth cap, and an identity-visited set,
+    so cyclic or hostile trees terminate with partial output instead of
+    hanging an executor."""
+    from .docmeta import decode_text_string
+
+    try:
+        catalog = doc.resolve(doc.trailer["Root"])
+    except Exception:  # noqa: BLE001
+        return 0, ""
+    root = catalog.get("Outlines") if isinstance(catalog, dict) else None
+    if isinstance(root, Ref):
+        try:
+            root = doc.resolve(root)
+        except Exception:  # noqa: BLE001
+            return 0, ""
+    if not isinstance(root, dict):
+        return 0, ""
+    lines = []
+    seen = set()
+    stack = [(root.get("First"), 0)]
+    while stack and len(lines) < MAX_OUTLINE_NODES:
+        node_ref, depth = stack.pop()
+        if node_ref is None or depth > MAX_OUTLINE_DEPTH:
+            continue
+        key = (node_ref.num, node_ref.gen) if isinstance(node_ref, Ref) \
+            else id(node_ref)
+        if key in seen:
+            continue
+        seen.add(key)
+        node = node_ref
+        if isinstance(node, Ref):
+            try:
+                node = doc.resolve(node)
+            except Exception:  # noqa: BLE001
+                continue
+        if not isinstance(node, dict):
+            continue
+        raw = _raw_string(node.get("Title"))
+        title = decode_text_string(raw) if raw is not None else ""
+        lines.append("%d|%s" % (
+            depth, title.replace("\\", "\\\\").replace("\n", "\\n")
+            .replace("\r", "\\r")))
+        # push Next FIRST so the child subtree (First) is emitted before
+        # the sibling — document order under a LIFO stack
+        stack.append((node.get("Next"), depth))
+        stack.append((node.get("First"), depth + 1))
+    return len(lines), "\n".join(lines)

@@ -359,6 +359,53 @@ WHERE parse_ok
 """.format(oracle=FIXTURE_ORACLE)
 
 
+def _doc_outline_batches(batches):
+    import pandas as pd
+
+    from ..kernel.parser import DocumentParser
+    from ..kernel.textextract import doc_outline
+
+    for pdf in batches:
+        out = {"url": [], "n_bookmarks": [], "outline": []}
+        for url, data, pw in _fixture_pdf_rows(pdf):
+            try:
+                n, line = doc_outline(DocumentParser(data, password=pw))
+            except Exception:  # noqa: BLE001 - parse failure: no row
+                continue
+            out["url"].append(url)
+            out["n_bookmarks"].append(n)
+            out["outline"].append(line)
+        yield pd.DataFrame(out)
+
+
+def extract_pdf_outline(spark, sf_dir):
+    """Bookmark census gate (K52): the /Outlines tree walked First/Next
+    in document order with decoded titles — OUR parser's walk must
+    byte-match the REFERENCE parser's (same shared title-decode rule,
+    same bounds; cyclic/hostile trees terminate with partial output)."""
+    from ..sources.pages import passwords_df
+
+    pages = (spark.read.parquet(FIXTURE_PAGES)
+             .join(F.broadcast(passwords_df(spark)), "url", "left")
+             .select("url", "html", "password", "password_is_bytes")
+             .repartition(4, "url"))
+    ol = pages.mapInPandas(
+        _doc_outline_batches,
+        schema="url string, n_bookmarks int, outline string")
+    ref_ok = (spark.read.parquet(FIXTURE_ORACLE)
+              .where("parse_ok").select("url"))
+    return (ol.join(F.broadcast(ref_ok), "url")
+            .select("url", "n_bookmarks",
+                    F.md5("outline").alias("outline_md5")))
+
+
+PDF_OUTLINE_SQL = """
+SELECT url, CAST(n_bookmarks AS INT) AS n_bookmarks, outline_md5
+FROM read_parquet('{oracle}')
+WHERE parse_ok
+""".format(oracle=FIXTURE_ORACLE)
+
+
 def extract_quarantine_counts(spark, sf_dir):
     """Totality contract: every corpus row lands in exactly one status."""
     result = _fixture_extraction(spark)
@@ -444,6 +491,8 @@ QUERIES = {
                                       PDF_METADATA_SQL),
     "extract_pdf_links": QuerySpec(extract_pdf_links, PDF_LINKS_SQL),
     "extract_pdf_xmp": QuerySpec(extract_pdf_xmp, PDF_XMP_SQL),
+    "extract_pdf_outline": QuerySpec(extract_pdf_outline,
+                                     PDF_OUTLINE_SQL),
     "extract_quarantine_counts": QuerySpec(extract_quarantine_counts,
                                            QUARANTINE_SQL),
 }

@@ -266,3 +266,60 @@ def test_doc_xmp_absent_and_present():
     with open("/root/reference/tests/pdfs/0003.pdf", "rb") as fh:
         n, digest = doc_xmp(DocumentParser(fh.read()))
     assert n > 0 and len(digest) == 32
+
+
+def _outline_pdf(outline_objs, n_outline_start=4):
+    """Hand-built PDF: catalog -> /Outlines 4 0 R, plus the caller's
+    outline node objects starting at object 4."""
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R /Outlines 4 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R >>",
+    ] + outline_objs
+    out = bytearray(b"%PDF-1.6\n")
+    offsets = []
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += ("%d 0 obj\n" % i).encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += ("xref\n0 %d\n" % (len(objs) + 1)).encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += ("%010d 00000 n \n" % off).encode()
+    out += ("trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF"
+            % (len(objs) + 1, xref_at)).encode()
+    return bytes(out)
+
+
+def test_doc_outline_document_order_and_depth():
+    """K52 walk order: child subtree before next sibling, depth
+    recorded; UTF-16BE titles decoded."""
+    from pdf4py_spark.kernel.parser import DocumentParser
+    from pdf4py_spark.kernel.textextract import doc_outline
+
+    uni_title = b"\xfe\xff" + "Résumé".encode("utf-16-be")
+    pdf = _outline_pdf([
+        b"<< /Type /Outlines /First 5 0 R /Last 7 0 R >>",      # 4
+        b"<< /Title (Ch 1) /Next 7 0 R /First 6 0 R >>",        # 5
+        b"<< /Title (" + uni_title.replace(b"\\", b"\\\\")
+        .replace(b"(", b"\\(").replace(b")", b"\\)") + b") >>",  # 6
+        b"<< /Title (Ch 2) >>",                                  # 7
+    ])
+    n, line = doc_outline(DocumentParser(pdf))
+    assert n == 3
+    assert line == "0|Ch 1\n1|Résumé\n0|Ch 2"
+
+
+def test_doc_outline_cycle_terminates():
+    """Hostile outline: Next pointing back to the first node must
+    terminate via the visited set with partial output, not hang."""
+    from pdf4py_spark.kernel.parser import DocumentParser
+    from pdf4py_spark.kernel.textextract import doc_outline
+
+    pdf = _outline_pdf([
+        b"<< /Type /Outlines /First 5 0 R >>",                   # 4
+        b"<< /Title (A) /Next 6 0 R >>",                          # 5
+        b"<< /Title (B) /Next 5 0 R >>",  # cycle back to 5       # 6
+    ])
+    n, line = doc_outline(DocumentParser(pdf))
+    assert n == 2 and line == "0|A\n0|B"

@@ -45,6 +45,7 @@ def main():
     urls, extracted, md5s, ok, n_objects, n_pages = [], [], [], [], [], []
     uni_md5s, n_fonts, fonts_md5s, meta_md5s = [], [], [], []
     n_links, links_md5s, xmp_bytes, xmp_md5s = [], [], [], []
+    n_bookmarks, outline_md5s = [], []
     for url, entry in sorted(manifest.items()):
         urls.append(url)
         ok.append(entry["parse_ok"])
@@ -66,6 +67,8 @@ def main():
             links_md5s.append(entry["links_md5"])
             xmp_bytes.append(entry["xmp_bytes"])
             xmp_md5s.append(entry["xmp_md5"])
+            n_bookmarks.append(entry["n_bookmarks"])
+            outline_md5s.append(entry["outline_md5"])
         else:
             extracted.append(None)
             md5s.append(None)
@@ -79,6 +82,8 @@ def main():
             links_md5s.append(None)
             xmp_bytes.append(None)
             xmp_md5s.append(None)
+            n_bookmarks.append(None)
+            outline_md5s.append(None)
     oracle = pa.table({
         "url": pa.array(urls, pa.string()),
         "extracted": pa.array(extracted, pa.binary()),
@@ -94,6 +99,8 @@ def main():
         "links_md5": pa.array(links_md5s, pa.string()),
         "xmp_bytes": pa.array(xmp_bytes, pa.int32()),
         "xmp_md5": pa.array(xmp_md5s, pa.string()),
+        "n_bookmarks": pa.array(n_bookmarks, pa.int32()),
+        "outline_md5": pa.array(outline_md5s, pa.string()),
     })
     pq.write_table(oracle, os.path.join(FIXTURE_DIR, "oracle.parquet"))
     print("wrote %d pages rows, %d oracle rows -> %s"

@@ -376,6 +376,8 @@ def main():
                 payload, password_for(url))
             xmp_bytes, xmp_md5 = oracle_doc_xmp(
                 payload, password_for(url))
+            n_bm, outline_line = oracle_doc_outline(
+                payload, password_for(url))
             entry = {
                 "parse_ok": True,
                 "bin": name,
@@ -392,6 +394,9 @@ def main():
                     links_line_s.encode("utf-8")).hexdigest(),
                 "xmp_bytes": xmp_bytes,
                 "xmp_md5": xmp_md5,
+                "n_bookmarks": n_bm,
+                "outline_md5": hashlib.md5(
+                    outline_line.encode("utf-8")).hexdigest(),
                 "n_objects": n_objects,
                 "n_pages": n_pages,
                 "version": version,
@@ -451,6 +456,48 @@ def oracle_doc_xmp(payload: bytes, password):
     except Exception:
         return 0, ""
     return len(data), hashlib.md5(data).hexdigest()
+
+
+
+
+
+def oracle_doc_outline(payload: bytes, password):
+    """Outline census through the REFERENCE parser (K52) — same walk
+    order, bounds, and title decode as kernel.textextract.doc_outline."""
+    from pdf4py_spark.kernel.docmeta import decode_text_string
+    from pdf4py_spark.kernel.textextract import (
+        MAX_OUTLINE_DEPTH, MAX_OUTLINE_NODES,
+    )
+
+    parser = Parser(payload, password)
+    catalog = _rr(parser, parser.trailer["Root"])
+    root = _rr(parser, catalog.get("Outlines")
+               if isinstance(catalog, dict) else None)
+    if not isinstance(root, dict):
+        return 0, ""
+    lines = []
+    seen = set()
+    stack = [(root.get("First"), 0)]
+    while stack and len(lines) < MAX_OUTLINE_NODES:
+        node_ref, depth = stack.pop()
+        if node_ref is None or depth > MAX_OUTLINE_DEPTH:
+            continue
+        key = ((node_ref.object_number, node_ref.generation_number)
+               if isinstance(node_ref, PDFReference) else id(node_ref))
+        if key in seen:
+            continue
+        seen.add(key)
+        node = _rr(parser, node_ref)
+        if not isinstance(node, dict):
+            continue
+        raw = _string_bytes(node.get("Title"))
+        title = decode_text_string(bytes(raw)) if raw is not None else ""
+        lines.append("%d|%s" % (
+            depth, title.replace("\\", "\\\\").replace("\n", "\\n")
+            .replace("\r", "\\r")))
+        stack.append((node.get("Next"), depth))
+        stack.append((node.get("First"), depth + 1))
+    return len(lines), "\n".join(lines)
 
 
 if __name__ == "__main__":
