@@ -387,6 +387,23 @@ def extract_pdf_text_unicode(doc: DocumentParser) -> bytes:
     return "\n".join(page_texts).encode("utf-8")
 
 
+def _rc(doc: DocumentParser, obj, depth: int = 16):
+    """Resolve through CHAINED indirect references for the metadata/
+    census walks (K49-K52): up to ``depth`` hops, None on any failure.
+    Mirrors tools/make_oracle's reference-side `_rr` + its failure
+    tolerance exactly, so the two stacks cannot diverge on chained or
+    dangling refs (review finding: the kernel resolved one level and
+    skipped, the oracle chained 16 and raised)."""
+    n = 0
+    while isinstance(obj, Ref) and n < depth:
+        try:
+            obj = doc.resolve(obj)
+        except Exception:  # noqa: BLE001 - dangling/broken ref
+            return None
+        n += 1
+    return obj
+
+
 def _raw_string(obj):
     """PDF string object -> raw bytes (literal as-is, hex unhexlified),
     else None."""
@@ -403,32 +420,17 @@ def doc_metadata(doc: DocumentParser) -> str:
     resolves the same objects through the reference parser."""
     from .docmeta import METADATA_KEYS, metadata_line
 
-    info = doc.trailer.get("Info")
-    if isinstance(info, Ref):
-        try:
-            info = doc.resolve(info)
-        except Exception:  # noqa: BLE001 - broken Info ref: treat absent
-            info = None
+    info = _rc(doc, doc.trailer.get("Info"))
     raw = {}
     if isinstance(info, dict):
         for key in METADATA_KEYS:
-            v = info.get(key)
-            if isinstance(v, Ref):
-                try:
-                    v = doc.resolve(v)
-                except Exception:  # noqa: BLE001
-                    v = None
-            b = _raw_string(v)
+            b = _raw_string(_rc(doc, info.get(key)))
             if b is not None:
                 raw[key] = b
     n_annots = 0
     for page, _resources in pages_with_resources(doc):
-        annots = page.get("Annots") if isinstance(page, dict) else None
-        if isinstance(annots, Ref):
-            try:
-                annots = doc.resolve(annots)
-            except Exception:  # noqa: BLE001
-                annots = None
+        annots = _rc(doc, page.get("Annots")
+                     if isinstance(page, dict) else None)
         if isinstance(annots, list):
             n_annots += len(annots)
     return metadata_line(raw, n_annots)
@@ -445,34 +447,19 @@ def doc_links(doc: DocumentParser):
 
     uris = []
     for page, _resources in pages_with_resources(doc):
-        annots = page.get("Annots") if isinstance(page, dict) else None
-        if isinstance(annots, Ref):
-            try:
-                annots = doc.resolve(annots)
-            except Exception:  # noqa: BLE001
-                annots = None
+        annots = _rc(doc, page.get("Annots")
+                     if isinstance(page, dict) else None)
         if not isinstance(annots, list):
             continue
         for aref in annots:
-            annot = doc.resolve(aref) if isinstance(aref, Ref) else aref
+            annot = _rc(doc, aref)
             if not isinstance(annot, dict) \
                     or annot.get("Subtype") != "Link":
                 continue
-            action = annot.get("A")
-            if isinstance(action, Ref):
-                try:
-                    action = doc.resolve(action)
-                except Exception:  # noqa: BLE001
-                    continue
+            action = _rc(doc, annot.get("A"))
             if not isinstance(action, dict) or action.get("S") != "URI":
                 continue
-            uri = action.get("URI")
-            if isinstance(uri, Ref):
-                try:
-                    uri = doc.resolve(uri)
-                except Exception:  # noqa: BLE001
-                    continue
-            raw = _raw_string(uri)
+            raw = _raw_string(_rc(doc, action.get("URI")))
             if raw is not None:
                 uris.append(decode_text_string(raw))
     return len(uris), links_line(uris)
@@ -492,12 +479,8 @@ def doc_xmp(doc: DocumentParser):
         catalog = doc.resolve(doc.trailer["Root"])
     except Exception:  # noqa: BLE001
         return 0, ""
-    meta = catalog.get("Metadata") if isinstance(catalog, dict) else None
-    if isinstance(meta, Ref):
-        try:
-            meta = doc.resolve(meta)
-        except Exception:  # noqa: BLE001
-            return 0, ""
+    meta = _rc(doc, catalog.get("Metadata")
+               if isinstance(catalog, dict) else None)
     if not isinstance(meta, Stream):
         return 0, ""
     try:
@@ -527,12 +510,8 @@ def doc_outline(doc: DocumentParser):
         catalog = doc.resolve(doc.trailer["Root"])
     except Exception:  # noqa: BLE001
         return 0, ""
-    root = catalog.get("Outlines") if isinstance(catalog, dict) else None
-    if isinstance(root, Ref):
-        try:
-            root = doc.resolve(root)
-        except Exception:  # noqa: BLE001
-            return 0, ""
+    root = _rc(doc, catalog.get("Outlines")
+               if isinstance(catalog, dict) else None)
     if not isinstance(root, dict):
         return 0, ""
     lines = []
@@ -547,15 +526,10 @@ def doc_outline(doc: DocumentParser):
         if key in seen:
             continue
         seen.add(key)
-        node = node_ref
-        if isinstance(node, Ref):
-            try:
-                node = doc.resolve(node)
-            except Exception:  # noqa: BLE001
-                continue
+        node = _rc(doc, node_ref)
         if not isinstance(node, dict):
             continue
-        raw = _raw_string(node.get("Title"))
+        raw = _raw_string(_rc(doc, node.get("Title")))
         title = decode_text_string(raw) if raw is not None else ""
         lines.append("%d|%s" % (
             depth, title.replace("\\", "\\\\").replace("\n", "\\n")

@@ -163,24 +163,68 @@ def _fixture_pdf_rows(pdf):
         yield url, data, pw
 
 
-def _fonts_census_batches(batches):
-    import pandas as pd
+def _fixture_pages_with_passwords(spark):
+    """The one census-input preamble (review finding: it was copied
+    into every census query): fixture pages + broadcast password dim,
+    slim projection, stable 4-way repartition."""
+    from ..sources.pages import passwords_df
 
+    return (spark.read.parquet(FIXTURE_PAGES)
+            .join(F.broadcast(passwords_df(spark)), "url", "left")
+            .select("url", "html", "password", "password_is_bytes")
+            .repartition(4, "url"))
+
+
+def _census_batches(row_fn, cols):
+    """mapInPandas generator factory for the census kernels: run
+    ``row_fn(data, password) -> tuple`` per fixture PDF, skipping rows
+    whose parse fails — the try/except shell existed once per census
+    before (review finding)."""
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {c: [] for c in ("url",) + cols}
+            for url, data, pw in _fixture_pdf_rows(pdf):
+                try:
+                    vals = row_fn(data, pw)
+                except Exception:  # noqa: BLE001 - parse failure: no row
+                    continue
+                out["url"].append(url)
+                for c, v in zip(cols, vals):
+                    out[c].append(v)
+            yield pd.DataFrame(out)
+    return gen
+
+
+def _fonts_row(data, pw):
     from ..kernel.parser import DocumentParser
     from ..kernel.textextract import fonts_census
+    return fonts_census(DocumentParser(data, password=pw))
 
-    for pdf in batches:
-        out = {"url": [], "n_fonts": [], "census": []}
-        for url, data, pw in _fixture_pdf_rows(pdf):
-            try:
-                doc = DocumentParser(data, password=pw)
-                n, census = fonts_census(doc)
-            except Exception:  # noqa: BLE001 - parse failure: no census
-                continue
-            out["url"].append(url)
-            out["n_fonts"].append(n)
-            out["census"].append(census)
-        yield pd.DataFrame(out)
+
+def _metadata_row(data, pw):
+    from ..kernel.parser import DocumentParser
+    from ..kernel.textextract import doc_metadata
+    return (doc_metadata(DocumentParser(data, password=pw)),)
+
+
+def _links_row(data, pw):
+    from ..kernel.parser import DocumentParser
+    from ..kernel.textextract import doc_links
+    return doc_links(DocumentParser(data, password=pw))
+
+
+def _xmp_row(data, pw):
+    from ..kernel.parser import DocumentParser
+    from ..kernel.textextract import doc_xmp
+    return doc_xmp(DocumentParser(data, password=pw))
+
+
+def _outline_row(data, pw):
+    from ..kernel.parser import DocumentParser
+    from ..kernel.textextract import doc_outline
+    return doc_outline(DocumentParser(data, password=pw))
 
 
 def extract_pdf_fonts(spark, sf_dir):
@@ -195,14 +239,9 @@ def extract_pdf_fonts(spark, sf_dir):
     opens the AESV3/R6-encrypted fixtures (0020/0021) that the reference
     cannot parse at all (that capability is pinned by the crypto tests),
     so those two docs have no reference census to compare against."""
-    from ..sources.pages import passwords_df
-
-    pages = (spark.read.parquet(FIXTURE_PAGES)
-             .join(F.broadcast(passwords_df(spark)), "url", "left")
-             .select("url", "html", "password", "password_is_bytes")
-             .repartition(4, "url"))
+    pages = _fixture_pages_with_passwords(spark)
     census = pages.mapInPandas(
-        _fonts_census_batches,
+        _census_batches(_fonts_row, ("n_fonts", "census")),
         schema="url string, n_fonts int, census string")
     ref_ok = (spark.read.parquet(FIXTURE_ORACLE)
               .where("parse_ok").select("url"))
@@ -217,25 +256,6 @@ WHERE parse_ok
 """.format(oracle=FIXTURE_ORACLE)
 
 
-def _doc_metadata_batches(batches):
-    import pandas as pd
-
-    from ..kernel.parser import DocumentParser
-    from ..kernel.textextract import doc_metadata
-
-    for pdf in batches:
-        out = {"url": [], "meta": []}
-        for url, data, pw in _fixture_pdf_rows(pdf):
-            try:
-                doc = DocumentParser(data, password=pw)
-                line = doc_metadata(doc)
-            except Exception:  # noqa: BLE001 - parse failure: no row
-                continue
-            out["url"].append(url)
-            out["meta"].append(line)
-        yield pd.DataFrame(out)
-
-
 def extract_pdf_metadata(spark, sf_dir):
     """Document-information metadata gate (K49): the canonical Info-dict
     + annotation-census line (Title/Author/Subject/Creator/Producer/
@@ -244,14 +264,10 @@ def extract_pdf_metadata(spark, sf_dir):
     parser must hash-match the same line resolved by the REFERENCE
     parser, both formatted by the shared kernel.docmeta.metadata_line.
     Compared on the reference-parseable set, like the fonts gate."""
-    from ..sources.pages import passwords_df
-
-    pages = (spark.read.parquet(FIXTURE_PAGES)
-             .join(F.broadcast(passwords_df(spark)), "url", "left")
-             .select("url", "html", "password", "password_is_bytes")
-             .repartition(4, "url"))
+    pages = _fixture_pages_with_passwords(spark)
     meta = pages.mapInPandas(
-        _doc_metadata_batches, schema="url string, meta string")
+        _census_batches(_metadata_row, ("meta",)),
+        schema="url string, meta string")
     ref_ok = (spark.read.parquet(FIXTURE_ORACLE)
               .where("parse_ok").select("url"))
     return (meta.join(F.broadcast(ref_ok), "url")
@@ -265,39 +281,15 @@ WHERE parse_ok
 """.format(oracle=FIXTURE_ORACLE)
 
 
-def _doc_links_batches(batches):
-    import pandas as pd
-
-    from ..kernel.parser import DocumentParser
-    from ..kernel.textextract import doc_links
-
-    for pdf in batches:
-        out = {"url": [], "n_links": [], "links": []}
-        for url, data, pw in _fixture_pdf_rows(pdf):
-            try:
-                n, line = doc_links(DocumentParser(data, password=pw))
-            except Exception:  # noqa: BLE001 - parse failure: no row
-                continue
-            out["url"].append(url)
-            out["n_links"].append(n)
-            out["links"].append(line)
-        yield pd.DataFrame(out)
-
-
 def extract_pdf_links(spark, sf_dir):
     """Outlink census gate (K50): URI targets of Link annotations — the
     outlink source a crawl pipeline feeds its frontier/link graph from —
     resolved by OUR parser must match the REFERENCE parser's walk, both
     formatted through the shared kernel.docmeta.links_line (sorted
     distinct URIs; total occurrence count carried separately)."""
-    from ..sources.pages import passwords_df
-
-    pages = (spark.read.parquet(FIXTURE_PAGES)
-             .join(F.broadcast(passwords_df(spark)), "url", "left")
-             .select("url", "html", "password", "password_is_bytes")
-             .repartition(4, "url"))
+    pages = _fixture_pages_with_passwords(spark)
     links = pages.mapInPandas(
-        _doc_links_batches,
+        _census_batches(_links_row, ("n_links", "links")),
         schema="url string, n_links int, links string")
     ref_ok = (spark.read.parquet(FIXTURE_ORACLE)
               .where("parse_ok").select("url"))
@@ -312,39 +304,15 @@ WHERE parse_ok
 """.format(oracle=FIXTURE_ORACLE)
 
 
-def _doc_xmp_batches(batches):
-    import pandas as pd
-
-    from ..kernel.parser import DocumentParser
-    from ..kernel.textextract import doc_xmp
-
-    for pdf in batches:
-        out = {"url": [], "xmp_bytes": [], "xmp_md5": []}
-        for url, data, pw in _fixture_pdf_rows(pdf):
-            try:
-                n, digest = doc_xmp(DocumentParser(data, password=pw))
-            except Exception:  # noqa: BLE001 - parse failure: no row
-                continue
-            out["url"].append(url)
-            out["xmp_bytes"].append(n)
-            out["xmp_md5"].append(digest)
-        yield pd.DataFrame(out)
-
-
 def extract_pdf_xmp(spark, sf_dir):
     """XMP packet gate (K51): the catalog /Metadata stream payload's
     (length, md5) through OUR parser's full filter/decrypt chain must
     byte-match the REFERENCE parser's resolution. Raw-bytes pinning by
     design — no XML parsing on executors (entity-expansion surface),
     and byte identity is the stronger cross-stack check anyway."""
-    from ..sources.pages import passwords_df
-
-    pages = (spark.read.parquet(FIXTURE_PAGES)
-             .join(F.broadcast(passwords_df(spark)), "url", "left")
-             .select("url", "html", "password", "password_is_bytes")
-             .repartition(4, "url"))
+    pages = _fixture_pages_with_passwords(spark)
     xmp = pages.mapInPandas(
-        _doc_xmp_batches,
+        _census_batches(_xmp_row, ("xmp_bytes", "xmp_md5")),
         schema="url string, xmp_bytes int, xmp_md5 string")
     ref_ok = (spark.read.parquet(FIXTURE_ORACLE)
               .where("parse_ok").select("url"))
@@ -359,38 +327,14 @@ WHERE parse_ok
 """.format(oracle=FIXTURE_ORACLE)
 
 
-def _doc_outline_batches(batches):
-    import pandas as pd
-
-    from ..kernel.parser import DocumentParser
-    from ..kernel.textextract import doc_outline
-
-    for pdf in batches:
-        out = {"url": [], "n_bookmarks": [], "outline": []}
-        for url, data, pw in _fixture_pdf_rows(pdf):
-            try:
-                n, line = doc_outline(DocumentParser(data, password=pw))
-            except Exception:  # noqa: BLE001 - parse failure: no row
-                continue
-            out["url"].append(url)
-            out["n_bookmarks"].append(n)
-            out["outline"].append(line)
-        yield pd.DataFrame(out)
-
-
 def extract_pdf_outline(spark, sf_dir):
     """Bookmark census gate (K52): the /Outlines tree walked First/Next
     in document order with decoded titles — OUR parser's walk must
     byte-match the REFERENCE parser's (same shared title-decode rule,
     same bounds; cyclic/hostile trees terminate with partial output)."""
-    from ..sources.pages import passwords_df
-
-    pages = (spark.read.parquet(FIXTURE_PAGES)
-             .join(F.broadcast(passwords_df(spark)), "url", "left")
-             .select("url", "html", "password", "password_is_bytes")
-             .repartition(4, "url"))
+    pages = _fixture_pages_with_passwords(spark)
     ol = pages.mapInPandas(
-        _doc_outline_batches,
+        _census_batches(_outline_row, ("n_bookmarks", "outline")),
         schema="url string, n_bookmarks int, outline string")
     ref_ok = (spark.read.parquet(FIXTURE_ORACLE)
               .where("parse_ok").select("url"))

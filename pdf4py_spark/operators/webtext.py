@@ -86,6 +86,7 @@ def _with_canonical(df):
                 .otherwise(F.lit("")),
                 path, qnorm))
             .withColumn("host", host)
+            .withColumn("path", path)
             .withColumn("domain", registrable_domain(host)))
 
 
@@ -111,7 +112,10 @@ _RAW_URL_SQL = """
   || (['#Section-2', '', '', '', ''][CAST(doc_id % 5 AS INT) + 1])
 """
 
-_CANON_SQL = """
+#: shared canonicalization CTE chain (raw -> parts -> norm -> canon);
+#: both URL_CANON_SQL and URL_FILTER_SQL are built on it so a rule
+#: change lands in ONE place (review finding: the chain was duplicated)
+_CANON_CTES = """
 WITH raw AS (
   SELECT doc_id, {raw_url} AS url FROM documents
 ),
@@ -136,19 +140,22 @@ norm AS (
               ELSE '?' || array_to_string(
                      list_sort(string_split(query0, '&')), '&') END AS q
   FROM parts
+),
+canon AS (
+  SELECT doc_id, url,
+         scheme || '://' || host ||
+         CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
+                                    OR (scheme = 'https' AND port = '443'))
+              THEN ':' || port ELSE '' END || path || q AS canonical_url,
+         host, path,
+         {domain} AS domain
+  FROM (SELECT *, string_split(host, '.') AS labs FROM norm)
 )
-SELECT doc_id, url,
-       scheme || '://' || host ||
-       CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
-                                  OR (scheme = 'https' AND port = '443'))
-            THEN ':' || port ELSE '' END || path || q AS canonical_url,
-       host,
-       {domain} AS domain
-FROM (SELECT *, string_split(host, '.') AS labs FROM norm)
 """
 
-URL_CANON_SQL = _CANON_SQL.format(
-    raw_url=_RAW_URL_SQL, domain=registrable_domain_sql("labs"))
+URL_CANON_SQL = (_CANON_CTES + """
+SELECT doc_id, url, canonical_url, host, domain FROM canon
+""").format(raw_url=_RAW_URL_SQL, domain=registrable_domain_sql("labs"))
 
 
 def domain_rollup(spark, sf_dir):
@@ -212,13 +219,10 @@ def url_filter_blocklist(spark, sf_dir):
         docs.select("doc_id", F.expr(_RAW_URL).alias("url")))
     rules = spark.createDataFrame(
         list(BLOCKLIST), "domain string, path_prefix string")
-    path = F.regexp_extract(
-        "canonical_url", r"^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
-    hits = (urls.withColumn("path", path)
+    hits = (urls
             .join(F.broadcast(rules), "domain", "left")
             .withColumn("hit", F.col("path_prefix").isNotNull()
-                        & F.col("path").startswith(
-                            F.coalesce("path_prefix", F.lit(""))))
+                        & F.col("path").startswith(F.col("path_prefix")))
             .groupBy("doc_id", "canonical_url", "domain")
             .agg(F.max(F.col("hit").cast("int")).alias("blocked_i")))
     return hits.select(
@@ -231,49 +235,15 @@ def _blocklist_values_sql():
     return "(VALUES %s) AS bl(domain, path_prefix)" % rows
 
 
-URL_FILTER_SQL = """
-WITH raw AS (
-  SELECT doc_id, {raw_url} AS url FROM documents
-),
-parts AS (
-  SELECT doc_id, url,
-         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
-           AS scheme,
-         lower(regexp_extract(url,
-               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS auth,
-         regexp_extract(url,
-               '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
-         regexp_extract(regexp_replace(url, '#.*$', ''),
-               '\\?([^#]*)', 1) AS query0
-  FROM raw
-),
-norm AS (
-  SELECT doc_id, url, scheme,
-         regexp_replace(auth, ':[0-9]+$', '') AS host,
-         regexp_extract(auth, ':([0-9]+)$', 1) AS port,
-         CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
-         CASE WHEN query0 = '' THEN ''
-              ELSE '?' || array_to_string(
-                     list_sort(string_split(query0, '&')), '&') END AS q
-  FROM parts
-),
-canon AS (
-  SELECT doc_id,
-         scheme || '://' || host ||
-         CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
-                                    OR (scheme = 'https' AND port = '443'))
-              THEN ':' || port ELSE '' END || path || q AS canonical_url,
-         path,
-         {domain} AS domain
-  FROM (SELECT *, string_split(host, '.') AS labs FROM norm)
-)
+URL_FILTER_SQL = (_CANON_CTES + """
 SELECT doc_id, canonical_url, canon.domain AS domain,
        MAX(CASE WHEN bl.path_prefix IS NOT NULL
                  AND starts_with(path, bl.path_prefix)
             THEN 1 ELSE 0 END) = 1 AS blocked
 FROM canon LEFT JOIN {bl} ON canon.domain = bl.domain
 GROUP BY doc_id, canonical_url, canon.domain
-"""
+""").format(raw_url=_RAW_URL_SQL, domain=registrable_domain_sql("labs"),
+            bl=_blocklist_values_sql())
 
 
 def corpus_split(spark, sf_dir):
@@ -313,11 +283,8 @@ FROM b
 
 QUERIES = {
     "url_canonicalize": QuerySpec(url_canonicalize, URL_CANON_SQL),
-    "url_filter_blocklist": QuerySpec(
-        url_filter_blocklist,
-        URL_FILTER_SQL.format(raw_url=_RAW_URL_SQL,
-                              domain=registrable_domain_sql("labs"),
-                              bl=_blocklist_values_sql())),
+    "url_filter_blocklist": QuerySpec(url_filter_blocklist,
+                                      URL_FILTER_SQL),
     "domain_rollup": QuerySpec(domain_rollup, DOMAIN_ROLLUP_SQL),
     "corpus_split": QuerySpec(corpus_split, CORPUS_SPLIT_SQL),
 }

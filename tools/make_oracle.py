@@ -156,6 +156,16 @@ def _rr(parser, obj):
     return obj
 
 
+def _rr_safe(parser, obj):
+    """Failure-tolerant chained resolve for the K49-K52 census walks —
+    None on a dangling/broken ref, matching the kernel's `_rc` exactly
+    (review finding: the oracle raised where the kernel skipped)."""
+    try:
+        return _rr(parser, obj)
+    except Exception:
+        return None
+
+
 def _composite_spec_ref(parser, font, spec):
     """Mirror of kernel.textextract._composite_spec over the reference
     parser's objects (Identity flag, FontFile2, CIDToGIDMap stream)."""
@@ -295,16 +305,16 @@ def oracle_doc_metadata(payload: bytes, password) -> str:
     from pdf4py_spark.kernel.docmeta import METADATA_KEYS, metadata_line
 
     parser = Parser(payload, password)
-    info = _rr(parser, parser.trailer.get("Info"))
+    info = _rr_safe(parser, parser.trailer.get("Info"))
     raw = {}
     if isinstance(info, dict):
         for key in METADATA_KEYS:
-            b = _string_bytes(_rr(parser, info.get(key)))
+            b = _string_bytes(_rr_safe(parser, info.get(key)))
             if b is not None:
                 raw[key] = bytes(b)
     n_annots = 0
     for page, _resources in _pages_with_resources_ref(parser):
-        annots = _rr(parser, page.get("Annots")
+        annots = _rr_safe(parser, page.get("Annots")
                      if isinstance(page, dict) else None)
         if isinstance(annots, list):
             n_annots += len(annots)
@@ -422,19 +432,19 @@ def oracle_doc_links(payload: bytes, password):
     parser = Parser(payload, password)
     uris = []
     for page, _resources in _pages_with_resources_ref(parser):
-        annots = _rr(parser, page.get("Annots")
+        annots = _rr_safe(parser, page.get("Annots")
                      if isinstance(page, dict) else None)
         if not isinstance(annots, list):
             continue
         for aref in annots:
-            annot = _rr(parser, aref)
+            annot = _rr_safe(parser, aref)
             if not isinstance(annot, dict) \
                     or annot.get("Subtype") != "Link":
                 continue
-            action = _rr(parser, annot.get("A"))
+            action = _rr_safe(parser, annot.get("A"))
             if not isinstance(action, dict) or action.get("S") != "URI":
                 continue
-            raw = _string_bytes(_rr(parser, action.get("URI")))
+            raw = _string_bytes(_rr_safe(parser, action.get("URI")))
             if raw is not None:
                 uris.append(decode_text_string(bytes(raw)))
     return len(uris), links_line(uris)
@@ -447,8 +457,8 @@ def oracle_doc_xmp(payload: bytes, password):
     """Catalog /Metadata packet through the REFERENCE parser (K51)."""
     parser = Parser(payload, password)
     catalog = _rr(parser, parser.trailer["Root"])
-    meta = _rr(parser, catalog.get("Metadata")
-               if isinstance(catalog, dict) else None)
+    meta = _rr_safe(parser, catalog.get("Metadata")
+                    if isinstance(catalog, dict) else None)
     if not isinstance(meta, PDFStream):
         return 0, ""
     try:
@@ -471,8 +481,8 @@ def oracle_doc_outline(payload: bytes, password):
 
     parser = Parser(payload, password)
     catalog = _rr(parser, parser.trailer["Root"])
-    root = _rr(parser, catalog.get("Outlines")
-               if isinstance(catalog, dict) else None)
+    root = _rr_safe(parser, catalog.get("Outlines")
+                    if isinstance(catalog, dict) else None)
     if not isinstance(root, dict):
         return 0, ""
     lines = []
@@ -487,10 +497,10 @@ def oracle_doc_outline(payload: bytes, password):
         if key in seen:
             continue
         seen.add(key)
-        node = _rr(parser, node_ref)
+        node = _rr_safe(parser, node_ref)
         if not isinstance(node, dict):
             continue
-        raw = _string_bytes(node.get("Title"))
+        raw = _string_bytes(_rr_safe(parser, node.get("Title")))
         title = decode_text_string(bytes(raw)) if raw is not None else ""
         lines.append("%d|%s" % (
             depth, title.replace("\\", "\\\\").replace("\n", "\\n")
