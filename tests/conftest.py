@@ -25,3 +25,17 @@ def spark():
     )
     yield session
     session.stop()
+
+
+# extended fuzz budget: `HYPOTHESIS_PROFILE=heavy pytest tests/*_fuzz*`
+# multiplies every test's example budget 20x for soak runs; the default
+# profile keeps CI fast
+try:
+    from hypothesis import settings
+
+    settings.register_profile("heavy", max_examples=2000, deadline=None)
+    import os as _os
+    if _os.environ.get("HYPOTHESIS_PROFILE"):
+        settings.load_profile(_os.environ["HYPOTHESIS_PROFILE"])
+except ImportError:
+    pass
