@@ -321,6 +321,90 @@ def parse_tounicode(data: bytes) -> ToUnicodeCMap:
     return cmap
 
 
+# --- predefined CMaps (PDF 1.7 §9.7.5.2, Table 118) --------------------------------
+#
+# A Type0 font may select one of Adobe's REGISTERED CMaps by name instead
+# of embedding one. For text extraction the full code->CID tables are not
+# needed: what matters is code->Unicode, and for every registry Adobe
+# ships, the character codes are themselves a public encoding —
+#
+#   * the Uni<ROS>-UCS2 / Uni<ROS>-UTF16 families: the codes ARE
+#     UTF-16BE code units (the CMap maps Unicode to CIDs; extraction
+#     inverts it for free, exactly)
+#   * the legacy families (GBK-EUC, 90ms-RKSJ, ETen-B5, KSC-EUC, ...):
+#     the codes are bytes of a standardized CJK encoding with an exact
+#     stdlib codec (gbk/cp932/cp950/euc_kr/...)
+#
+# so the decode is table-free and exact, with two declared
+# approximations: GBKp-EUC ~ gbk and B5pc ~ big5 differ from their
+# platform variants in a handful of vendor code points. Unlisted
+# registries (83pv/90pv/Add/Ext RKSJ Apple variants, raw CNS-EUC) keep
+# the U+FFFD fallback rather than decode wrongly.
+
+def _decode_ucs2be(data: bytes) -> str:
+    """2-byte big-endian code units, code unit == BMP code point.
+    Lone surrogate halves are invalid in UCS-2 -> U+FFFD; a trailing
+    odd byte -> U+FFFD (same rule as the Identity path)."""
+    out = []
+    for i in range(0, len(data) - 1, 2):
+        cu = (data[i] << 8) | data[i + 1]
+        out.append(REPLACEMENT if 0xD800 <= cu <= 0xDFFF else chr(cu))
+    if len(data) % 2:
+        out.append(REPLACEMENT)
+    return "".join(out)
+
+
+def _decode_utf16be(data: bytes) -> str:
+    return data.decode("utf-16-be", "replace")
+
+
+def _codec_decoder(codec: str):
+    def decode(data: bytes) -> str:
+        return data.decode(codec, "replace")
+    return decode
+
+
+#: CMap base name (orientation suffix stripped) -> decoder
+PREDEFINED_CMAP_DECODERS = {
+    # Adobe-GB1 (Simplified Chinese)
+    "UniGB-UCS2": _decode_ucs2be,
+    "UniGB-UTF16": _decode_utf16be,
+    "GB-EUC": _codec_decoder("gb2312"),
+    "GBK-EUC": _codec_decoder("gbk"),
+    "GBKp-EUC": _codec_decoder("gbk"),        # declared ~ (vendor slots)
+    "GBK2K": _codec_decoder("gb18030"),
+    # Adobe-CNS1 (Traditional Chinese)
+    "UniCNS-UCS2": _decode_ucs2be,
+    "UniCNS-UTF16": _decode_utf16be,
+    "ETen-B5": _codec_decoder("cp950"),
+    "ETenms-B5": _codec_decoder("cp950"),
+    "B5pc": _codec_decoder("big5"),           # declared ~ (vendor slots)
+    "HKscs-B5": _codec_decoder("big5hkscs"),
+    # Adobe-Japan1
+    "UniJIS-UCS2": _decode_ucs2be,
+    "UniJIS-UCS2-HW": _decode_ucs2be,
+    "UniJIS-UTF16": _decode_utf16be,
+    "90ms-RKSJ": _codec_decoder("cp932"),
+    "90msp-RKSJ": _codec_decoder("cp932"),
+    "EUC": _codec_decoder("euc_jp"),
+    # Adobe-Korea1
+    "UniKS-UCS2": _decode_ucs2be,
+    "UniKS-UTF16": _decode_utf16be,
+    "KSC-EUC": _codec_decoder("euc_kr"),
+    "KSCms-UHC": _codec_decoder("cp949"),
+    "KSCms-UHC-HW": _codec_decoder("cp949"),
+}
+
+
+def predefined_cmap_decoder(name):
+    """CMap name (e.g. 'UniGB-UCS2-H') -> fn(bytes) -> str, or None
+    when the registry is unknown (caller keeps the U+FFFD policy)."""
+    if not isinstance(name, str):
+        return None
+    base = name[:-2] if name.endswith(("-H", "-V")) else name
+    return PREDEFINED_CMAP_DECODERS.get(base)
+
+
 # --- decoder assembly --------------------------------------------------------------
 
 def build_font_decoder(spec: dict):
@@ -330,19 +414,32 @@ def build_font_decoder(spec: dict):
         differences: list | None     PDF Differences array (ints + names)
         type0: bool                  composite font
         identity: bool               Encoding is Identity-H / Identity-V
+        cmap_name: str | None        Encoding NAME of a Type0 font (for
+                                     the predefined-CMap registry)
+        symbolic: bool               FontDescriptor Flags bit 3 (simple
+                                     TrueType symbol fonts)
         fontfile: bytes | None       embedded font program (FontFile2)
         cid_to_gid: bytes | None     CIDToGIDMap stream payload (2-byte
                                      big-endian gids indexed by CID);
                                      None = /Identity
     Returns fn(bytes) -> str.
 
-    Composite-font policy (r3 verdict #3): with /ToUnicode absent but an
-    Identity encoding + embedded TrueType program present, CIDs are
-    glyph ids (through CIDToGIDMap), and the font's own 'cmap' table
-    (kernel.sfnt) inverted gives gid -> Unicode — real text instead of
-    U+FFFD. Predefined non-Identity CMaps (UniGB-UCS2-H etc.) still
-    fall back to U+FFFD: their CID space needs the ROS collection
-    tables, which are not embedded."""
+    Composite-font policy (r3 verdict #3 + r4 verdict #1): with
+    /ToUnicode absent —
+    * an Identity encoding + embedded TrueType program: CIDs are glyph
+      ids (through CIDToGIDMap), and the font's own 'cmap' table
+      (kernel.sfnt) inverted gives gid -> Unicode;
+    * a predefined registered CMap name (UniGB-UCS2-H family, the
+      legacy GBK/RKSJ/B5/UHC families): the character codes are a
+      public encoding — decoded exactly, table-free (see
+      PREDEFINED_CMAP_DECODERS above);
+    * anything else: U+FFFD per 2-byte code.
+
+    Simple-font policy (r4 verdict #5): a SYMBOLIC TrueType font with
+    no /Encoding and no /Differences must NOT decode through
+    StandardEncoding (its codes index the font's (3,0)/(1,0) cmap, PDF
+    1.7 §9.6.6.4); with an embedded program the code -> gid -> Unicode
+    chain recovers real text, else U+FFFD."""
     tu = spec.get("tounicode")
     if tu:
         try:
@@ -352,6 +449,10 @@ def build_font_decoder(spec: dict):
         except Exception:  # noqa: BLE001 - malformed CMap: fall through
             pass
     if spec.get("type0"):
+        if not spec.get("identity"):
+            pre = predefined_cmap_decoder(spec.get("cmap_name"))
+            if pre is not None:
+                return pre
         g2u = None
         if spec.get("identity") and spec.get("fontfile"):
             from .sfnt import SfntError, gid_to_unicode
@@ -376,6 +477,13 @@ def build_font_decoder(spec: dict):
                 out.append(REPLACEMENT)
             return "".join(out)
         return decode_cid
+    if (spec.get("symbolic") and spec.get("encoding") is None
+            and not spec.get("differences")):
+        table = _symbolic_table(spec.get("fontfile"))
+
+        def decode_symbol(data: bytes) -> str:
+            return "".join(table.get(b, REPLACEMENT) for b in data)
+        return decode_symbol
     table = base_encoding_table(spec.get("encoding"))
     diffs = spec.get("differences")
     if diffs:
@@ -393,6 +501,31 @@ def build_font_decoder(spec: dict):
     def decode_simple(data: bytes) -> str:
         return "".join(table.get(b, REPLACEMENT) for b in data)
     return decode_simple
+
+
+def _symbolic_table(fontfile):
+    """code -> unicode table for a symbolic simple TrueType font: the
+    byte code (tried at 0xF000+code first, the (3,0) convention, then
+    bare) selects a glyph through the font's symbol cmap; the glyph
+    maps back to Unicode through the font's Unicode cmap when one
+    exists. Fonts with only a (3,0) subtable have no Unicode semantics
+    at all — empty table, every code U+FFFD (the honest answer)."""
+    if not fontfile:
+        return {}
+    from .sfnt import SfntError, code_to_gid_symbol, gid_to_unicode
+    try:
+        sym = code_to_gid_symbol(fontfile)
+        g2u = gid_to_unicode(fontfile)
+    except SfntError:
+        return {}
+    table = {}
+    for b in range(256):
+        gid = sym.get(0xF000 | b) or sym.get(b)
+        if gid:
+            ch = g2u.get(gid)
+            if ch:
+                table[b] = ch
+    return table
 
 
 def latin1_decoder(data: bytes) -> str:

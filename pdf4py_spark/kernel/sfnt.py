@@ -165,22 +165,22 @@ _PLATFORM_RANK = {
 }
 
 
-def unicode_to_gid(data: bytes) -> dict:
-    """codepoint -> glyph id from the best Unicode cmap subtable."""
+def _ranked_subtables(data: bytes, rank_map: dict):
+    """Usable cmap subtables as [(rank, fmt, abs offset)], best first.
+    A corrupt RECORD (offset past EOF, junk format) must not abort the
+    whole font while a later valid subtable could still recover text —
+    skip it and keep scanning."""
     cmap = _cmap_offset(data)
     n_sub = _u16(data, cmap + 2)
     if n_sub > MAX_SUBTABLES:
         raise SfntError("%d cmap subtables" % n_sub)
-    best = None
+    found = []
     for i in range(n_sub):
-        # a corrupt RECORD (offset past EOF, junk format) must not
-        # abort the whole font while a later valid subtable could
-        # still recover text — skip it and keep scanning
         try:
             rec = cmap + 4 + 8 * i
             plat, enc = _u16(data, rec), _u16(data, rec + 2)
             sub = cmap + _u32(data, rec + 4)
-            rank = _PLATFORM_RANK.get((plat, enc))
+            rank = rank_map.get((plat, enc))
             if rank is None:
                 continue
             fmt = _u16(data, sub)
@@ -188,11 +188,40 @@ def unicode_to_gid(data: bytes) -> dict:
             continue
         if fmt not in _PARSERS:
             continue
-        if best is None or rank < best[0]:
-            best = (rank, fmt, sub)
-    if best is None:
-        raise SfntError("no usable Unicode cmap subtable")
-    return _PARSERS[best[1]](data, best[2])
+        found.append((rank, fmt, sub))
+    found.sort(key=lambda t: t[0])
+    return found
+
+
+def _parse_ranked(data: bytes, rank_map: dict, what: str) -> dict:
+    """Parse subtables in rank order, falling through to the NEXT
+    candidate when the best-ranked one's BODY is corrupt (r4 advice #3:
+    guarding only the record reads partially defeated the stated
+    skip-corrupt-and-recover intent)."""
+    for _rank, fmt, sub in _ranked_subtables(data, rank_map):
+        try:
+            return _PARSERS[fmt](data, sub)
+        except SfntError:
+            continue
+    raise SfntError("no usable %s cmap subtable" % what)
+
+
+def unicode_to_gid(data: bytes) -> dict:
+    """codepoint -> glyph id from the best parseable Unicode subtable."""
+    return _parse_ranked(data, _PLATFORM_RANK, "Unicode")
+
+
+#: symbol-route subtables for SYMBOLIC simple TrueType fonts (PDF 1.7
+#: §9.6.6.4: no Encoding — the single-byte code is looked up in the
+#: font's (3,0) symbol or (1,0) Macintosh cmap, the (3,0) codes usually
+#: living at 0xF000 + code)
+_SYMBOL_RANK = {(3, 0): 0, (1, 0): 1}
+
+
+def code_to_gid_symbol(data: bytes) -> dict:
+    """code -> glyph id from the (3,0)/(1,0) subtable (symbolic simple
+    fonts). Raises SfntError when neither is present/parseable."""
+    return _parse_ranked(data, _SYMBOL_RANK, "symbol")
 
 
 def gid_to_unicode(data: bytes) -> dict:

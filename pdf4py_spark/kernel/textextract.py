@@ -194,6 +194,7 @@ def _composite_spec(doc: DocumentParser, font: dict, spec: dict) -> None:
     if isinstance(enc, Ref):
         enc = doc.resolve(enc)
     spec["identity"] = enc in ("Identity-H", "Identity-V")
+    spec["cmap_name"] = enc if isinstance(enc, str) else None
     desc = font.get("DescendantFonts")
     if isinstance(desc, Ref):
         desc = doc.resolve(desc)
@@ -231,6 +232,31 @@ def _composite_spec(doc: DocumentParser, font: dict, spec: dict) -> None:
                     pass
 
 
+def _simple_spec(doc: DocumentParser, font: dict, spec: dict) -> None:
+    """Fill the SIMPLE-font spec fields the symbolic TrueType route
+    needs (fonts.build_font_decoder): the FontDescriptor's symbolic
+    flag (Flags bit 3, PDF 1.7 §9.8.2) and the FontFile2 program."""
+    if font.get("Subtype") != "TrueType":
+        return
+    fd = font.get("FontDescriptor")
+    if isinstance(fd, Ref):
+        fd = doc.resolve(fd)
+    if not isinstance(fd, dict):
+        return
+    flags = fd.get("Flags")
+    spec["symbolic"] = bool(isinstance(flags, int) and flags & 4)
+    if not spec["symbolic"]:
+        return
+    ff = fd.get("FontFile2")
+    if isinstance(ff, Ref):
+        ff = doc.resolve(ff)
+    if isinstance(ff, Stream):
+        try:
+            spec["fontfile"] = ff.payload()
+        except Exception:  # noqa: BLE001 - undecodable font stream
+            pass
+
+
 def font_decoders(doc: DocumentParser, resources) -> dict:
     """Font resource name -> decoder fn(bytes) -> str."""
     from .fonts import build_font_decoder
@@ -261,6 +287,8 @@ def font_decoders(doc: DocumentParser, resources) -> dict:
                 pass
         if spec["type0"]:
             _composite_spec(doc, font, spec)
+        else:
+            _simple_spec(doc, font, spec)
         enc = font.get("Encoding")
         if isinstance(enc, Ref):
             enc = doc.resolve(enc)
@@ -465,29 +493,51 @@ def doc_links(doc: DocumentParser):
     return len(uris), links_line(uris)
 
 
+def _xmp_packet(doc: DocumentParser):
+    """The catalog's /Metadata stream payload through the full filter/
+    decrypt chain, or None when absent/unresolvable."""
+    try:
+        catalog = doc.resolve(doc.trailer["Root"])
+    except Exception:  # noqa: BLE001
+        return None
+    meta = _rc(doc, catalog.get("Metadata")
+               if isinstance(catalog, dict) else None)
+    if not isinstance(meta, Stream):
+        return None
+    try:
+        return meta.payload()
+    except Exception:  # noqa: BLE001
+        return None
+
+
 def doc_xmp(doc: DocumentParser):
-    """XMP metadata packet (K51): the catalog's /Metadata stream payload
-    — resolved through the full filter/decrypt chain — as (byte length,
-    md5 hex), or (0, "") when absent/unresolvable. The packet is pinned
-    as RAW BYTES deliberately: parsing the RDF/XML with stdlib
+    """XMP metadata packet (K51): (byte length, md5 hex) of the
+    catalog's /Metadata payload, or (0, "") when absent. The packet is
+    pinned as RAW BYTES deliberately: parsing the RDF/XML with stdlib
     xml.etree would expose executors to entity-expansion attacks, and
     byte identity across both parser stacks is the stronger gate
     anyway (it covers catalog traversal + stream decode end to end)."""
     import hashlib
 
-    try:
-        catalog = doc.resolve(doc.trailer["Root"])
-    except Exception:  # noqa: BLE001
-        return 0, ""
-    meta = _rc(doc, catalog.get("Metadata")
-               if isinstance(catalog, dict) else None)
-    if not isinstance(meta, Stream):
-        return 0, ""
-    try:
-        payload = meta.payload()
-    except Exception:  # noqa: BLE001
+    payload = _xmp_packet(doc)
+    if payload is None:
         return 0, ""
     return len(payload), hashlib.md5(payload).hexdigest()
+
+
+def doc_xmp_fields(doc: DocumentParser):
+    """Dublin Core field census (K53): (count, canonical lines) of the
+    dc:title/dc:creator/dc:description values scanned — regex-level,
+    never an XML parser (see kernel.docmeta.xmp_fields for the bounded
+    scan rationale) — from the K51 packet. Shared formatter across both
+    parser stacks, same as the other census gates."""
+    from .docmeta import xmp_fields, xmp_fields_line
+
+    payload = _xmp_packet(doc)
+    if payload is None:
+        return 0, ""
+    fields = xmp_fields(payload)
+    return len(fields), xmp_fields_line(fields)
 
 
 #: outline-walk bounds: node budget and child depth (hostile trees can

@@ -227,6 +227,12 @@ def _outline_row(data, pw):
     return doc_outline(DocumentParser(data, password=pw))
 
 
+def _xmp_fields_row(data, pw):
+    from ..kernel.parser import DocumentParser
+    from ..kernel.textextract import doc_xmp_fields
+    return doc_xmp_fields(DocumentParser(data, password=pw))
+
+
 def extract_pdf_fonts(spark, sf_dir):
     """Font-resource census parity gate: distinct canonical font lines
     (resource name | Subtype | BaseFont | encoding kind | ToUnicode
@@ -350,6 +356,30 @@ WHERE parse_ok
 """.format(oracle=FIXTURE_ORACLE)
 
 
+def extract_pdf_xmp_fields(spark, sf_dir):
+    """Dublin Core field gate (K53): dc:title/dc:creator/dc:description
+    values scanned from the K51 packet — regex-level and bounded, never
+    an XML parser (entity decode is arithmetic with a cap) — through
+    OUR parser must match the REFERENCE parser's packet, both
+    formatted by the shared kernel.docmeta.xmp_fields_line."""
+    pages = _fixture_pages_with_passwords(spark)
+    xf = pages.mapInPandas(
+        _census_batches(_xmp_fields_row, ("n_xmp_fields", "fields")),
+        schema="url string, n_xmp_fields int, fields string")
+    ref_ok = (spark.read.parquet(FIXTURE_ORACLE)
+              .where("parse_ok").select("url"))
+    return (xf.join(F.broadcast(ref_ok), "url")
+            .select("url", "n_xmp_fields",
+                    F.md5("fields").alias("xmp_fields_md5")))
+
+
+PDF_XMP_FIELDS_SQL = """
+SELECT url, CAST(n_xmp_fields AS INT) AS n_xmp_fields, xmp_fields_md5
+FROM read_parquet('{oracle}')
+WHERE parse_ok
+""".format(oracle=FIXTURE_ORACLE)
+
+
 def extract_quarantine_counts(spark, sf_dir):
     """Totality contract: every corpus row lands in exactly one status."""
     result = _fixture_extraction(spark)
@@ -437,6 +467,8 @@ QUERIES = {
     "extract_pdf_xmp": QuerySpec(extract_pdf_xmp, PDF_XMP_SQL),
     "extract_pdf_outline": QuerySpec(extract_pdf_outline,
                                      PDF_OUTLINE_SQL),
+    "extract_pdf_xmp_fields": QuerySpec(extract_pdf_xmp_fields,
+                                        PDF_XMP_FIELDS_SQL),
     "extract_quarantine_counts": QuerySpec(extract_quarantine_counts,
                                            QUARANTINE_SQL),
 }

@@ -172,7 +172,7 @@ def identity_h_pdf() -> bytes:
         return ("<< /Length %d %s>>" % (len(data), extra)).encode() + \
             b"\nstream\n" + data + b"\nendstream"
 
-    objs = [
+    return _classic_pdf([
         b"<< /Type /Catalog /Pages 2 0 R >>",                      # 1
         b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",              # 2
         (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
@@ -201,7 +201,12 @@ def identity_h_pdf() -> bytes:
         cidfont(20),                                               # 19
         fontdesc(21, key="FontFile3"),                             # 20
         stream_obj(font_d, "/Subtype /OpenType "),                 # 21
-    ]
+    ])
+
+
+def _classic_pdf(objs) -> bytes:
+    """Write numbered object bodies as a plain classic-xref PDF that
+    BOTH parser stacks (ours and the reference's) load."""
     out = bytearray(b"%PDF-1.6\n")
     offsets = []
     for i, body in enumerate(objs, start=1):
@@ -215,3 +220,170 @@ def identity_h_pdf() -> bytes:
     out += ("trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF"
             % (len(objs) + 1, xref_at)).encode()
     return bytes(out)
+
+
+def _stream_obj(data: bytes, extra: str = "") -> bytes:
+    return ("<< /Length %d %s>>" % (len(data), extra)).encode() + \
+        b"\nstream\n" + data + b"\nendstream"
+
+
+# --- predefined-CMap fixture (r4 verdict #1) ---------------------------------------
+#
+# One Type0 font per registered-CMap family, NO ToUnicode and NO embedded
+# font program: the ONLY route to text is the predefined-CMap registry
+# (fonts.PREDEFINED_CMAP_DECODERS). /F7 uses a real Adobe CMap name the
+# registry deliberately does NOT carry (90pv-RKSJ-H, the Apple variant)
+# to pin the U+FFFD-per-code fallback.
+
+#: (resource name, CMap name, registry Ordering, text, code bytes)
+_CMAP_CASES = (
+    ("F1", "UniGB-UCS2-H", "GB1", "中文数据",
+     "中文数据".encode("utf-16-be")),
+    ("F2", "UniJIS-UTF16-H", "Japan1", "日本語\U00020BB7",
+     "日本語\U00020BB7".encode("utf-16-be")),   # incl. surrogate pair
+    ("F3", "GBK-EUC-H", "GB1", "汉字处理ok",
+     "汉字处理ok".encode("gbk")),               # mixed 1/2-byte codes
+    ("F4", "90ms-RKSJ-H", "Japan1", "日本語テスト",
+     "日本語テスト".encode("cp932")),
+    ("F5", "KSCms-UHC-H", "Korea1", "한국어",
+     "한국어".encode("cp949")),
+    ("F6", "ETen-B5-H", "CNS1", "中文繁體",
+     "中文繁體".encode("cp950")),
+    ("F7", "90pv-RKSJ-H", "Japan1", "��",
+     b"\x93\xfa\x96\x7b"),                      # unknown registry: FFFD/code
+)
+
+EXPECTED_CMAP_TEXT = "".join(c[3] for c in _CMAP_CASES)
+
+#: XMP packet with named + numeric entities and both rdf container
+#: shapes — pins the bounded field scan (kernel.docmeta.xmp_fields)
+_XMP_PACKET = (
+    '<?xpacket begin="﻿" id="W5M0MpCehiHzreSzNTczkc9d"?>'
+    '<x:xmpmeta xmlns:x="adobe:ns:meta/">'
+    '<rdf:RDF xmlns:rdf='
+    '"http://www.w3.org/1999/02/22-rdf-syntax-ns#">'
+    '<rdf:Description rdf:about="" '
+    'xmlns:dc="http://purl.org/dc/elements/1.1/">'
+    '<dc:title><rdf:Alt>'
+    '<rdf:li xml:lang="x-default">数据引擎 '
+    '&amp; pipeline &#x2014; test</rdf:li>'
+    '</rdf:Alt></dc:title>'
+    '<dc:creator><rdf:Seq>'
+    '<rdf:li>Builder &lt;one&gt;</rdf:li>'
+    '<rdf:li>Builder two</rdf:li>'
+    '</rdf:Seq></dc:creator>'
+    '</rdf:Description></rdf:RDF></x:xmpmeta>'
+    '<?xpacket end="w"?>').encode("utf-8")
+
+EXPECTED_XMP_FIELDS = [
+    ("dc:title", 0, "数据引擎 & pipeline — test"),
+    ("dc:creator", 0, "Builder <one>"),
+    ("dc:creator", 1, "Builder two"),
+]
+
+
+def predefined_cmap_pdf() -> bytes:
+    content = bytearray(b"BT 72 720 Td")
+    for name, _cmap, _ord, _text, codes in _CMAP_CASES:
+        content += (" /%s 12 Tf <" % name).encode() + \
+            codes.hex().upper().encode() + b"> Tj"
+    content += b" ET"
+
+    font_refs = []
+    objs = [
+        b"",                                                       # 1 catalog
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",              # 2
+        b"",                                                       # 3 page
+        _stream_obj(bytes(content)),                               # 4
+    ]
+    for name, cmap, ordering, _text, _codes in _CMAP_CASES:
+        type0_ref = len(objs) + 1
+        objs.append((
+            "<< /Type /Font /Subtype /Type0 /BaseFont /Synth%s "
+            "/Encoding /%s /DescendantFonts [%d 0 R] >>"
+            % (name, cmap, type0_ref + 1)).encode())
+        objs.append((
+            "<< /Type /Font /Subtype /CIDFontType0 /BaseFont /Synth%s "
+            "/CIDSystemInfo << /Registry (Adobe) /Ordering (%s) "
+            "/Supplement 0 >> >>" % (name, ordering)).encode())
+        font_refs.append((name, type0_ref))
+    objs.append(_stream_obj(
+        _XMP_PACKET, "/Type /Metadata /Subtype /XML "))
+    objs[0] = ("<< /Type /Catalog /Pages 2 0 R /Metadata %d 0 R >>"
+               % len(objs)).encode()
+    objs[2] = (
+        "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        "/Contents 4 0 R /Resources << /Font << %s >> >> >>"
+        % " ".join("/%s %d 0 R" % (n, r) for n, r in font_refs)).encode()
+    return _classic_pdf(objs)
+
+
+# --- symbolic simple-TrueType fixture (r4 verdict #5) ------------------------------
+#
+# /FS is a SYMBOLIC (Flags 4) simple TrueType font with no /Encoding: its
+# byte codes must resolve through the embedded program's (3,0) symbol
+# cmap (at 0xF000+code) to glyphs, then back to Unicode through the
+# (3,1) subtable — NOT through StandardEncoding (byte 0x41 shows a
+# star, not 'A'). /FN is a NONSYMBOLIC (Flags 32) font over the same
+# program and the same bytes: it must keep the StandardEncoding path.
+
+#: byte code -> shown character for the symbolic font
+_SYMBOL_MAP = {0x41: "★", 0x42: "✓", 0x43: "♠", 0x44: "♫"}
+_SYMBOL_CODES = bytes(sorted(_SYMBOL_MAP))
+EXPECTED_SYMBOLIC = "".join(_SYMBOL_MAP[b] for b in sorted(_SYMBOL_MAP))
+EXPECTED_NONSYMBOLIC = _SYMBOL_CODES.decode("ascii")
+EXPECTED_SYMBOLIC_TEXT = EXPECTED_SYMBOLIC + EXPECTED_NONSYMBOLIC
+
+
+def make_symbol_truetype() -> bytes:
+    """TrueType program with TWO cmap subtables: (3,0) symbol mapping
+    0xF000+code -> gid and (3,1) Unicode mapping char -> gid."""
+    gids = {b: i + 1 for i, b in enumerate(sorted(_SYMBOL_MAP))}
+    sym_sub = _cmap_format4({0xF000 | b: g for b, g in gids.items()})
+    uni_sub = _cmap_format4(
+        {ord(_SYMBOL_MAP[b]): g for b, g in gids.items()})
+    # two encoding records sharing the table header
+    n = 2
+    header = struct.pack(">HH", 0, n)
+    rec_len = 8 * n
+    off0 = 4 + rec_len
+    off1 = off0 + len(sym_sub)
+    cmap = header + \
+        struct.pack(">HHI", 3, 0, off0) + \
+        struct.pack(">HHI", 3, 1, off1) + sym_sub + uni_sub
+    head = struct.pack(">IIIIHHQQhhhhHHhhh", 0x00010000, 0, 0x5F0F3CF5,
+                       0, 0, 1000, 0, 0, 0, 0, 1000, 1000, 0, 8, 2, 0, 0)
+    maxp = struct.pack(">IH", 0x00005000, len(gids) + 1)
+    return _sfnt({"cmap": cmap, "head": head, "maxp": maxp})
+
+
+def symbolic_tt_pdf() -> bytes:
+    font = make_symbol_truetype()
+    show = b"(" + _SYMBOL_CODES + b") Tj"
+    content = b"BT /FS 12 Tf 72 720 Td " + show + \
+        b" /FN 12 Tf " + show + b" ET"
+
+    def simple_font(fd_ref: int, name: str) -> bytes:
+        return ("<< /Type /Font /Subtype /TrueType /BaseFont /%s "
+                "/FirstChar 65 /LastChar 68 /Widths [500 500 500 500] "
+                "/FontDescriptor %d 0 R >>" % (name, fd_ref)).encode()
+
+    def fontdesc(flags: int, ff_ref: int) -> bytes:
+        return ("<< /Type /FontDescriptor /FontName /SynthSym /Flags %d "
+                "/ItalicAngle 0 /Ascent 800 /Descent -200 /CapHeight 700 "
+                "/StemV 80 /FontBBox [0 -200 1000 800] /FontFile2 %d 0 R "
+                ">>" % (flags, ff_ref)).encode()
+
+    return _classic_pdf([
+        b"<< /Type /Catalog /Pages 2 0 R >>",                      # 1
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",              # 2
+        (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+         b"/Contents 4 0 R /Resources << /Font "
+         b"<< /FS 5 0 R /FN 7 0 R >> >> >>"),                      # 3
+        _stream_obj(content),                                      # 4
+        simple_font(6, "SynthSym"),                                # 5 /FS
+        fontdesc(4, 9),                                            # 6 symbolic
+        simple_font(8, "SynthNonSym"),                             # 7 /FN
+        fontdesc(32, 9),                                           # 8 nonsym.
+        _stream_obj(font, "/Length1 %d " % len(font)),             # 9 shared
+    ])

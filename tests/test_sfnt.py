@@ -51,16 +51,34 @@ def test_hostile_inputs_raise_typed():
     with pytest.raises(SfntError):
         unicode_to_gid(b"\x00\x01\x00\x00" + b"\x00" * 8)  # no tables
     # format-12 group spanning 2^31 codepoints: rejected, not allocated
+    # (and with no other subtable to fall back to, the font is unusable)
     sub = struct.pack(">HHIII", 12, 0, 28, 0, 1)
     sub += struct.pack(">III", 0, MAX_GROUP_SPAN + 2, 1)
     cmap = struct.pack(">HHHHI", 0, 1, 3, 10, 12) + sub
     from pdf4py_spark.sources.synthpdf import _sfnt
-    with pytest.raises(SfntError, match="span"):
+    with pytest.raises(SfntError, match="no usable"):
         unicode_to_gid(_sfnt({"cmap": cmap}))
     # truncated subtable offset past end
     cmap = struct.pack(">HHHHI", 0, 1, 3, 1, 9999)
     with pytest.raises(SfntError):
         unicode_to_gid(_sfnt({"cmap": cmap}))
+
+
+def test_corrupt_best_subtable_falls_through_to_next_rank():
+    """r4 advice #3: when the BEST-ranked subtable's body is corrupt
+    (here a bomb-span (3,10) format-12), a valid lower-ranked (3,1)
+    subtable must still recover the mapping instead of the whole font
+    collapsing to U+FFFD."""
+    from pdf4py_spark.sources.synthpdf import _cmap_format4, _sfnt
+    bad = struct.pack(">HHIII", 12, 0, 28, 0, 1)
+    bad += struct.pack(">III", 0, MAX_GROUP_SPAN + 2, 1)
+    good = _cmap_format4({0x41: 7})
+    n = 2
+    off0 = 4 + 8 * n
+    cmap = struct.pack(">HH", 0, n) + \
+        struct.pack(">HHI", 3, 10, off0) + \
+        struct.pack(">HHI", 3, 1, off0 + len(bad)) + bad + good
+    assert unicode_to_gid(_sfnt({"cmap": cmap})) == {0x41: 7}
 
 
 def test_identity_h_pdf_decodes_real_text():

@@ -46,6 +46,7 @@ def main():
     uni_md5s, n_fonts, fonts_md5s, meta_md5s = [], [], [], []
     n_links, links_md5s, xmp_bytes, xmp_md5s = [], [], [], []
     n_bookmarks, outline_md5s = [], []
+    n_xmp_fields, xmp_fields_md5s = [], []
     for url, entry in sorted(manifest.items()):
         urls.append(url)
         ok.append(entry["parse_ok"])
@@ -69,6 +70,8 @@ def main():
             xmp_md5s.append(entry["xmp_md5"])
             n_bookmarks.append(entry["n_bookmarks"])
             outline_md5s.append(entry["outline_md5"])
+            n_xmp_fields.append(entry["n_xmp_fields"])
+            xmp_fields_md5s.append(entry["xmp_fields_md5"])
         else:
             extracted.append(None)
             md5s.append(None)
@@ -84,6 +87,8 @@ def main():
             xmp_md5s.append(None)
             n_bookmarks.append(None)
             outline_md5s.append(None)
+            n_xmp_fields.append(None)
+            xmp_fields_md5s.append(None)
     oracle = pa.table({
         "url": pa.array(urls, pa.string()),
         "extracted": pa.array(extracted, pa.binary()),
@@ -101,6 +106,8 @@ def main():
         "xmp_md5": pa.array(xmp_md5s, pa.string()),
         "n_bookmarks": pa.array(n_bookmarks, pa.int32()),
         "outline_md5": pa.array(outline_md5s, pa.string()),
+        "n_xmp_fields": pa.array(n_xmp_fields, pa.int32()),
+        "xmp_fields_md5": pa.array(xmp_fields_md5s, pa.string()),
     })
     pq.write_table(oracle, os.path.join(FIXTURE_DIR, "oracle.parquet"))
     print("wrote %d pages rows, %d oracle rows -> %s"

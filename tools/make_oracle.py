@@ -171,6 +171,7 @@ def _composite_spec_ref(parser, font, spec):
     parser's objects (Identity flag, FontFile2, CIDToGIDMap stream)."""
     enc = _rr(parser, font.get("Encoding"))
     spec["identity"] = enc in ("Identity-H", "Identity-V")
+    spec["cmap_name"] = enc if isinstance(enc, str) else None
     desc = _rr(parser, font.get("DescendantFonts"))
     if not (isinstance(desc, list) and desc):
         return
@@ -195,6 +196,26 @@ def _composite_spec_ref(parser, font, spec):
                     pass
 
 
+def _simple_spec_ref(parser, font, spec):
+    """Mirror of kernel.textextract._simple_spec over the reference
+    parser (symbolic flag + FontFile2 for simple TrueType fonts)."""
+    if font.get("Subtype") != "TrueType":
+        return
+    fd = _rr(parser, font.get("FontDescriptor"))
+    if not isinstance(fd, dict):
+        return
+    flags = fd.get("Flags")
+    spec["symbolic"] = bool(isinstance(flags, int) and flags & 4)
+    if not spec["symbolic"]:
+        return
+    ff = _rr(parser, fd.get("FontFile2"))
+    if isinstance(ff, PDFStream):
+        try:
+            spec["fontfile"] = bytes(ff.stream())
+        except Exception:
+            pass
+
+
 def _font_decoders_ref(parser, resources):
     resources = _rr(parser, resources)
     if not isinstance(resources, dict):
@@ -217,6 +238,8 @@ def _font_decoders_ref(parser, resources):
                 pass
         if spec["type0"]:
             _composite_spec_ref(parser, font, spec)
+        else:
+            _simple_spec_ref(parser, font, spec)
         enc = _rr(parser, font.get("Encoding"))
         if isinstance(enc, str):
             spec["encoding"] = enc
@@ -388,6 +411,8 @@ def main():
                 payload, password_for(url))
             n_bm, outline_line = oracle_doc_outline(
                 payload, password_for(url))
+            n_xmpf, xmpf_line = oracle_doc_xmp_fields(
+                payload, password_for(url))
             entry = {
                 "parse_ok": True,
                 "bin": name,
@@ -407,6 +432,9 @@ def main():
                 "n_bookmarks": n_bm,
                 "outline_md5": hashlib.md5(
                     outline_line.encode("utf-8")).hexdigest(),
+                "n_xmp_fields": n_xmpf,
+                "xmp_fields_md5": hashlib.md5(
+                    xmpf_line.encode("utf-8")).hexdigest(),
                 "n_objects": n_objects,
                 "n_pages": n_pages,
                 "version": version,
@@ -466,6 +494,26 @@ def oracle_doc_xmp(payload: bytes, password):
     except Exception:
         return 0, ""
     return len(data), hashlib.md5(data).hexdigest()
+
+
+def oracle_doc_xmp_fields(payload: bytes, password):
+    """Dublin Core field census through the REFERENCE parser (K53) —
+    same bounded regex scan + shared formatter as the kernel's
+    doc_xmp_fields."""
+    from pdf4py_spark.kernel.docmeta import xmp_fields, xmp_fields_line
+
+    parser = Parser(payload, password)
+    catalog = _rr(parser, parser.trailer["Root"])
+    meta = _rr_safe(parser, catalog.get("Metadata")
+                    if isinstance(catalog, dict) else None)
+    if not isinstance(meta, PDFStream):
+        return 0, ""
+    try:
+        data = bytes(meta.stream())
+    except Exception:
+        return 0, ""
+    fields = xmp_fields(data)
+    return len(fields), xmp_fields_line(fields)
 
 
 
