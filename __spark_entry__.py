@@ -7,8 +7,10 @@ queries()    — one entry per implemented operator (SURVEY.md §2): the
                extraction family (kernel-driven, including the byte-identity
                md5 gates over the reference-corpus fixture in raw AND
                font/encoding-aware unicode modes — with embedded-font
-               Identity-H CID decode — plus fonts / Info-metadata /
-               outlink censuses across both parser stacks), dedup (exact /
+               Identity-H CID decode, predefined CJK CMap registries,
+               and symbolic-TrueType routing — plus fonts /
+               Info-metadata / outlink / XMP-packet / Dublin-Core-field
+               / outline censuses across both parser stacks), dedup (exact /
                MinHash-LSH / clusters / true connected components / SimHash
                / n-gram Jaccard / embedding cosine / sub-document unit),
                similarity search (brute-force, computed-IVF, sign-LSH),
@@ -16,7 +18,8 @@ queries()    — one entry per implemented operator (SURVEY.md §2): the
                confusion matrix / token rollup / fingerprint / BM25 /
                exact quantiles / PMI collocations / trained merge-table
                BPE), webtext (canonicalization, PSL registrable domains,
-               blocklist filtering, rollups, content-addressed splits),
+               blocklist filtering, rollups, HTML outlink extraction +
+               crawl-frontier feed, content-addressed splits),
                relational + windowed / sliding / as-of / sessionized /
                SCD2-interval queries (incl. Q2-style argmin, Q8-style
                market share, keep-latest CDC compaction), THREE Structured

@@ -5,6 +5,14 @@ Prints ONE JSON line:
      "queries": {name: sec, ...}, "sf": <sf>,
      "extract": {"docs": N, "docs_per_sec": X, "mb_per_sec": Y}, ...}
 
+Stdout-size contract (r4 verdict nit #1): the harness that records this
+line keeps only the LAST 2000 characters of stdout, and r2-r4 all
+arrived decapitated (parsed: null). The final line therefore carries
+seconds rounded to 2 decimals and NO row counts; the full-precision
+per-query timings + row counts + extract stats go to the committed
+BENCH/QUERIES_r{N}.json instead. A hard assert keeps the line under
+the cap so the overflow cannot regress silently.
+
 Env / flags:
     SPARK_GRAFT_SF_DIR   input tables dir (default /root/testdata/sf0.1)
     SPARK_GRAFT_CPUS     local[] parallelism (default 32)
@@ -31,6 +39,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 REFERENCE_BASELINE_DOCS_PER_SEC = 0.98  # single-core pdf4py full-graph parse
                                         # (SURVEY.md §6, measured)
+ROUND = "5"  # default suffix for BENCH/QUERIES_r{N}.json
 
 
 def build_session(cpus: int):
@@ -49,10 +58,25 @@ def build_session(cpus: int):
             .getOrCreate())
 
 
+def _corpus_fingerprint() -> str:
+    """Cheap content hash of the fixture corpus, so the amplified-corpus
+    cache invalidates when the corpus changes (round 5 added two synth
+    PDFs; the round-4 cache would otherwise be silently re-benched)."""
+    import hashlib
+
+    from pdf4py_spark.sources.corpus import corpus_rows
+    h = hashlib.md5()
+    for url, _ts, payload, _t, _l in corpus_rows():
+        h.update(url.encode())
+        h.update(hashlib.md5(payload).digest())
+    return h.hexdigest()[:10]
+
+
 def ensure_amplified_corpus(spark, copies: int) -> str:
     """Materialize the amplified pages parquet once (cached across runs so
     N-core and 4N-core benches read identical bytes)."""
-    path = "/tmp/pdf4py_spark_bench/pages_x%d.parquet" % copies
+    path = "/tmp/pdf4py_spark_bench/pages_%s_x%d.parquet" % (
+        _corpus_fingerprint(), copies)
     marker = path + ".done"
     if not os.path.exists(marker):
         from pdf4py_spark.sources.pages import amplified_pages_df
@@ -105,13 +129,23 @@ def bench_extract(spark, copies: int):
     }
 
 
-# operator queries timed at the SF dir (forced with a count)
+# operator queries timed at the SF dir (forced with a count).
+# INTENTIONAL diff vs __spark_entry__.queries() (r4 verdict nit #2):
+# the fixture-only byte-identity gates (extract_pdf_census/text_md5/
+# unicode_md5, extract_html_main_roundtrip, extract_stats_by_lang,
+# extract_quarantine_counts, media_metadata), the tiny relational
+# variants (pricing_cube, order_key_set_ops, sessionize_native), the
+# pytest-gated embedding_neardup, and events_hourly_stream (its cost
+# is sessions_stream's harness; both replay the same files) are
+# correctness gates, not throughput workloads — timing them would pad
+# the suite without information. All are still hash-gated per round.
 BENCH_QUERIES = (
     "extract_html_roundtrip",
     "extract_pdf_fonts",
     "extract_pdf_metadata",
     "extract_pdf_links",
     "extract_pdf_xmp",
+    "extract_pdf_xmp_fields",
     "extract_pdf_outline",
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -150,6 +184,8 @@ BENCH_QUERIES = (
     "url_canonicalize",
     "url_filter_blocklist",
     "domain_rollup",
+    "html_outlinks",
+    "outlink_frontier",
     "corpus_split",
     "tokenize_bpe",
     "quality_repetition",
@@ -209,9 +245,31 @@ def main():
             out["queries"][name] = sec
             out.setdefault("rows", {})[name] = n
             total += sec
+        from pdf4py_spark.operators import release_caches
+        out["released_caches"] = release_caches()
 
     out["value"] = round(total, 3)
-    print(json.dumps(out))
+
+    # full-fidelity record -> committed file (full suite only: the
+    # extract-only scaling runs must not clobber it); compact -> stdout
+    if args.suite == "full":
+        full_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH",
+            "QUERIES_r%s.json" % os.environ.get("SPARK_GRAFT_ROUND", ROUND))
+        try:
+            with open(full_path, "w") as fh:
+                json.dump(out, fh, indent=1, sort_keys=True)
+        except OSError:
+            pass  # read-only checkout: stdout still carries the essentials
+    compact = dict(out)
+    compact.pop("rows", None)
+    compact["metric"] = "docs/sec extraction throughput"
+    compact["queries"] = {k: round(v, 2)
+                          for k, v in out["queries"].items()}
+    line = json.dumps(compact, separators=(",", ":"))
+    assert len(line) < 1900, \
+        "bench line %d chars would overflow the 2000-char tail" % len(line)
+    print(line)
     spark.stop()
 
 

@@ -32,6 +32,48 @@ def table(spark, sf_dir: str, name: str):
     return spark.read.parquet("%s/%s.parquet" % (sf_dir, name))
 
 
+# --- persist discipline (r4 advice #4) ---------------------------------------------
+#
+# Operator-internal persists (minhash signatures, trigram relations, BPE
+# token arrays, ...) are load-bearing for plan shape — Spark does not
+# unify the repeated subtrees — but a long-lived session (bench loops,
+# the driver gate) re-invoking the queries would otherwise accumulate
+# cached relations until eviction pressure. Every persist goes through
+# persist_tracked(); harness code calls release_caches() between/after
+# suites. Queries stay correct without any release — this is a memory
+# lifecycle contract, not a correctness one.
+
+_PERSISTED = []
+
+
+def persist_tracked(df, level=None):
+    """persist(MEMORY_AND_DISK by default) + registration for
+    release_caches()."""
+    from pyspark.storagelevel import StorageLevel
+
+    df = df.persist(level or StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(df)
+    return df
+
+
+def release_caches() -> int:
+    """Unpersist every tracked relation (and drop the shared minhash
+    signature cache, which must not outlive its persist). Returns the
+    number of relations released."""
+    from . import dedup
+
+    n = 0
+    for df in _PERSISTED:
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:  # noqa: BLE001 - session already stopped
+            pass
+    _PERSISTED.clear()
+    dedup.clear_sig_cache()
+    return n
+
+
 def all_queries():
     from . import (
         corpusstats, dedup, extraction_queries, multimodal, relational,

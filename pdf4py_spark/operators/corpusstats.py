@@ -131,7 +131,7 @@ def dedup_paragraph(spark, sf_dir):
     hash -> per-doc rollup: every shuffle key is 8 bytes, and the unit
     relation is persisted because it feeds both the corpus-wide count
     and the per-doc join."""
-    from pyspark.storagelevel import StorageLevel
+    from . import persist_tracked
 
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     units = (docs
@@ -140,8 +140,8 @@ def dedup_paragraph(spark, sf_dir):
              .where(F.length("u") > 0)
              .select("doc_id", F.expr(
                  "cast(conv(substring(md5(u), 1, 15), 16, 10) as bigint)")
-                 .alias("uh"))
-             .persist(StorageLevel.MEMORY_AND_DISK))
+                 .alias("uh")))
+    units = persist_tracked(units)
     freq = units.groupBy("uh").agg(F.count("*").alias("n_occ"))
     return (units.join(freq, "uh")
             .groupBy("doc_id")
@@ -189,7 +189,7 @@ def bigram_pmi(spark, sf_dir):
     the bigram relation against the unigram counts; top-K via ONE
     window over the score-ordered bigram relation (rank ties broken by
     the bigram text, so the emitted set is deterministic)."""
-    from pyspark.storagelevel import StorageLevel
+    from . import persist_tracked
 
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     # persist the LINEAR per-doc token array once (one row per doc);
@@ -197,12 +197,12 @@ def bigram_pmi(spark, sf_dir):
     # derive from it. Exploded rows never carry the whole array — a
     # persisted (pos, w, toks) relation would cache O(len^2) cells per
     # document (review finding).
-    toks = (docs.withColumn("toks", F.split("text", " "))
-            .select("doc_id", "toks")
-            .persist(StorageLevel.MEMORY_AND_DISK))
+    toks = persist_tracked(
+        docs.withColumn("toks", F.split("text", " "))
+        .select("doc_id", "toks"))
     words = toks.select(F.explode("toks").alias("w"))
-    uni = (words.groupBy("w").agg(F.count("*").alias("c"))
-           .persist(StorageLevel.MEMORY_AND_DISK))
+    uni = persist_tracked(
+        words.groupBy("w").agg(F.count("*").alias("c")))
     n_total = words.groupBy().agg(F.count("*").alias("nt"))
     bi = (toks.where(F.size("toks") >= 2)  # sequence(1,0) would run
           .select(F.explode(F.expr(       # DESCENDING on 1-token docs

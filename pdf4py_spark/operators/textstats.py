@@ -511,10 +511,10 @@ def curated_corpus(spark, sf_dir):
         .alias("ttr"))
     # persisted: `kept` feeds both the stopword explode and the final
     # join — without it the md5-window dedup shuffle runs twice
-    from pyspark import StorageLevel
-    kept = (feats.where("n_tokens >= 10 AND n_tokens <= 1000 "
-                        "AND ttr >= 0.1")
-            .persist(StorageLevel.MEMORY_AND_DISK))
+    from . import persist_tracked
+    kept = persist_tracked(
+        feats.where("n_tokens >= 10 AND n_tokens <= 1000 "
+                    "AND ttr >= 0.1"))
     stop_rows = [(lang, w) for lang, ws in sorted(STOPWORDS.items())
                  for w in ws]
     stop = spark.createDataFrame(stop_rows, "cand_lang string, w string")

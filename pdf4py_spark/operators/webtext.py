@@ -246,6 +246,178 @@ GROUP BY doc_id, canonical_url, canon.domain
             bl=_blocklist_values_sql())
 
 
+# --- HTML outlink extraction + crawl frontier (round 5) ----------------------------
+#
+# The HTML twin of the PDF outlink census (K50): anchor hrefs regex-
+# extracted from the payload, relative links resolved against the page's
+# own (lowercased) scheme+host, non-web schemes (mailto:, javascript:)
+# dropped, target hosts reduced to PSL registrable domains. The frontier
+# rollup is what a crawler feeds its scheduler: distinct external target
+# domains with link/source counts. Whole plan is codegen + one explode +
+# (for the frontier) one hash aggregate — no UDF, no kernel.
+
+#: deterministic anchor-bearing HTML per document (oracle mirrors in SQL):
+#: one absolute messy-case link, a conditional relative link, a mailto
+#: (must be dropped), and a conditional second absolute to a co.uk host
+_HTML_WRAP = (
+    "concat("
+    " '<html><body><p>', text, '</p>',"
+    " '<a href=\"https://Partner', cast(doc_id % 7 as string),"
+    " '.Example.COM/p/', cast(doc_id as string), '\">p</a>',"
+    " case when doc_id % 3 = 0 then"
+    "   concat('<a href=\"/local/', cast(doc_id % 13 as string),"
+    "          '\">l</a>') else '' end,"
+    " '<a href=\"mailto:user@example.com\">m</a>',"
+    " case when doc_id % 2 = 0 then"
+    "   concat('<a href=\"HTTP://News', cast(doc_id % 5 as string),"
+    "          '.Shop.CO.UK/q\">n</a>') else '' end,"
+    " '</body></html>')"
+)
+
+_HREF_RE = r'<a href="([^"]+)"'
+
+
+def _outlink_rows(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    raw = docs.select("doc_id", "text", F.expr(_RAW_URL).alias("url"))
+    pscheme = F.lower(F.regexp_extract(
+        "url", r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    phost = F.regexp_replace(
+        F.lower(F.regexp_extract(
+            "url", r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)),
+        r":[0-9]+$", "")
+    pages = raw.select(
+        "doc_id", pscheme.alias("pscheme"), phost.alias("phost"),
+        F.expr(_HTML_WRAP).alias("html"))
+    links = pages.select(
+        "doc_id", "pscheme", "phost",
+        F.explode(F.regexp_extract_all(
+            "html", F.lit(_HREF_RE), 1)).alias("raw_link"))
+    lscheme = F.lower(F.regexp_extract(
+        "raw_link", r"^([A-Za-z][A-Za-z0-9+.-]*):", 1))
+    is_abs = lscheme.isin("http", "https")
+    is_rel = F.col("raw_link").startswith("/")
+    lhost = F.lower(F.regexp_extract(
+        "raw_link", r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    rest = F.regexp_extract(
+        "raw_link", r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$", 1)
+    target_host = F.when(is_abs, lhost).when(is_rel, F.col("phost"))
+    resolved = (F.when(is_abs, F.concat(lscheme, F.lit("://"),
+                                        lhost, rest))
+                .when(is_rel, F.concat(F.col("pscheme"), F.lit("://"),
+                                       F.col("phost"), F.col("raw_link"))))
+    return (links
+            .withColumn("target_host", target_host)
+            .where(F.col("target_host").isNotNull())
+            .select("doc_id", "raw_link",
+                    resolved.alias("resolved_url"), "target_host",
+                    registrable_domain(F.col("target_host"))
+                    .alias("target_domain"),
+                    (F.col("target_host") == F.col("phost"))
+                    .alias("is_internal")))
+
+
+def html_outlinks(spark, sf_dir):
+    """Per-page outlink table: href extraction, relative-link
+    resolution, scheme filtering, PSL target domain. Pure codegen +
+    one explode — zero shuffles."""
+    return _outlink_rows(spark, sf_dir)
+
+
+def outlink_frontier(spark, sf_dir):
+    """Crawl-frontier feed: EXTERNAL registrable target domains with
+    link and distinct-source counts. One hash aggregate over the
+    outlink explode; domain cardinality (millions) bounds the shuffle
+    at any corpus scale."""
+    return (_outlink_rows(spark, sf_dir)
+            .where(~F.col("is_internal"))
+            .groupBy("target_domain")
+            .agg(F.count("*").alias("n_links"),
+                 F.countDistinct("doc_id").alias("n_src_pages")))
+
+
+_HTML_WRAP_SQL = """
+  '<html><body><p>' || text || '</p>'
+  || '<a href="https://Partner' || CAST(doc_id % 7 AS VARCHAR)
+  || '.Example.COM/p/' || CAST(doc_id AS VARCHAR) || '">p</a>'
+  || CASE WHEN doc_id % 3 = 0 THEN
+       '<a href="/local/' || CAST(doc_id % 13 AS VARCHAR) || '">l</a>'
+     ELSE '' END
+  || '<a href="mailto:user@example.com">m</a>'
+  || CASE WHEN doc_id % 2 = 0 THEN
+       '<a href="HTTP://News' || CAST(doc_id % 5 AS VARCHAR)
+       || '.Shop.CO.UK/q">n</a>'
+     ELSE '' END
+  || '</body></html>'
+"""
+
+_OUTLINK_CTES = """
+WITH raw AS (
+  SELECT doc_id, text, {raw_url} AS url FROM documents
+),
+page AS (
+  SELECT doc_id, text,
+         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+           AS pscheme,
+         regexp_replace(lower(regexp_extract(url,
+             '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+             ':[0-9]+$', '') AS phost
+  FROM raw
+),
+links AS (
+  SELECT doc_id, pscheme, phost,
+         unnest(regexp_extract_all({html_wrap},
+                                   '<a href="([^"]+)"', 1)) AS raw_link
+  FROM page
+),
+typed AS (
+  SELECT doc_id, pscheme, phost, raw_link,
+         lower(regexp_extract(raw_link,
+               '^([A-Za-z][A-Za-z0-9+.-]*):', 1)) AS lscheme,
+         lower(regexp_extract(raw_link,
+               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS lhost,
+         regexp_extract(raw_link,
+               '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1) AS rest
+  FROM links
+),
+resolved AS (
+  SELECT doc_id, raw_link,
+         CASE WHEN lscheme IN ('http', 'https')
+              THEN lscheme || '://' || lhost || rest
+              WHEN starts_with(raw_link, '/')
+              THEN pscheme || '://' || phost || raw_link END
+           AS resolved_url,
+         CASE WHEN lscheme IN ('http', 'https') THEN lhost
+              WHEN starts_with(raw_link, '/') THEN phost END
+           AS target_host,
+         phost
+  FROM typed
+),
+outlinks AS (
+  SELECT doc_id, raw_link, resolved_url, target_host,
+         {domain} AS target_domain,
+         target_host = phost AS is_internal
+  FROM (SELECT *, string_split(target_host, '.') AS labs
+        FROM resolved WHERE target_host IS NOT NULL)
+)
+"""
+
+HTML_OUTLINKS_SQL = (_OUTLINK_CTES + """
+SELECT doc_id, raw_link, resolved_url, target_host, target_domain,
+       is_internal
+FROM outlinks
+""").format(raw_url=_RAW_URL_SQL, html_wrap=_HTML_WRAP_SQL,
+            domain=registrable_domain_sql("labs"))
+
+OUTLINK_FRONTIER_SQL = (_OUTLINK_CTES + """
+SELECT target_domain, COUNT(*) AS n_links,
+       COUNT(DISTINCT doc_id) AS n_src_pages
+FROM outlinks WHERE NOT is_internal
+GROUP BY target_domain
+""").format(raw_url=_RAW_URL_SQL, html_wrap=_HTML_WRAP_SQL,
+            domain=registrable_domain_sql("labs"))
+
+
 def corpus_split(spark, sf_dir):
     """Deterministic train/val/test assignment + sample flag — the
     reproducibility staple: bucket = first 16 bits of md5(doc_id) mod
@@ -286,5 +458,7 @@ QUERIES = {
     "url_filter_blocklist": QuerySpec(url_filter_blocklist,
                                       URL_FILTER_SQL),
     "domain_rollup": QuerySpec(domain_rollup, DOMAIN_ROLLUP_SQL),
+    "html_outlinks": QuerySpec(html_outlinks, HTML_OUTLINKS_SQL),
+    "outlink_frontier": QuerySpec(outlink_frontier, OUTLINK_FRONTIER_SQL),
     "corpus_split": QuerySpec(corpus_split, CORPUS_SPLIT_SQL),
 }

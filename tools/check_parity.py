@@ -4,6 +4,12 @@ sf dir, compare row count, column names, and an order-insensitive value
 hash.
 
 Usage: python tools/check_parity.py [sf_dir] [query ...]
+
+With --json-out PATH, additionally writes a driver-artifact-shaped JSON
+({name: {rows_match, schema_match, hash_match, spark_rows, oracle_rows,
+err}}) covering every query it ran — the committed full-coverage parity
+record the r4 verdict asked for (#3: the driver's gate rotates a subset;
+PARITY_r{N}.json is the in-repo proof over ALL registered queries).
 """
 
 from __future__ import annotations
@@ -62,8 +68,14 @@ def table_hash(rows, colnames):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json-out" in argv:
+        i = argv.index("--json-out")
+        json_out = argv[i + 1]
+        del argv[i:i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     from pyspark.sql import SparkSession
     spark = (SparkSession.builder.master("local[8]")
@@ -91,6 +103,7 @@ def main():
     oracles = entry_mod.oracle_sql()
 
     failures = []
+    record = {}
     for name, fn in sorted(queries.items()):
         if only and name not in only:
             continue
@@ -101,9 +114,17 @@ def main():
             scols = sdf.columns
         except Exception as exc:
             failures.append(name)
+            record[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "spark_rows": None,
+                            "oracle_rows": None,
+                            "err": "spark: %s" % str(exc)[:200]}
             print("%-28s SPARK-ERROR %s" % (name, str(exc)[:160]))
             continue
         if sql is None:
+            record[name] = {"rows_match": None, "schema_match": None,
+                            "hash_match": None, "spark_rows": len(srows),
+                            "oracle_rows": None, "err": None,
+                            "rows_only": True}
             print("%-28s rows-only    n=%d" % (name, len(srows)))
             continue
         try:
@@ -117,6 +138,10 @@ def main():
             prows = [tuple(t) for t in pdf.itertuples(index=False)]
         except Exception as exc:
             failures.append(name)
+            record[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "spark_rows": len(srows),
+                            "oracle_rows": None,
+                            "err": "duckdb: %s" % str(exc)[:200]}
             print("%-28s DUCK-ERROR  %s" % (name, str(exc)[:160]))
             continue
         count_ok = len(srows) == len(drows)
@@ -128,6 +153,9 @@ def main():
         status = "OK" if (count_ok and cols_ok and hash_ok) else "MISMATCH"
         if status != "OK":
             failures.append(name)
+        record[name] = {"rows_match": count_ok, "schema_match": cols_ok,
+                        "hash_match": hash_ok, "spark_rows": len(srows),
+                        "oracle_rows": len(drows), "err": None}
         print("%-28s %-9s rows=%d/%d cols=%s hash=%s"
               % (name, status, len(srows), len(drows),
                  "ok" if cols_ok else "%s vs %s" % (scols, dcols),
@@ -145,6 +173,14 @@ def main():
                 if a != b and shown < 3:
                     print("   spark: %s\n   duck : %s" % (a[:200], b[:200]))
                     shown += 1
+    if json_out:
+        import json
+
+        with open(json_out, "w") as fh:
+            json.dump(record, fh, indent=1, sort_keys=True)
+        print("wrote %s (%d queries)" % (json_out, len(record)))
+    from pdf4py_spark.operators import release_caches
+    release_caches()
     print("\n%d failures" % len(failures))
     spark.stop()
     sys.exit(1 if failures else 0)
