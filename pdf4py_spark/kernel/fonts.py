@@ -151,6 +151,57 @@ _STD_SPECIAL = {
 #: WinAnsiEncoding slots cp1252 leaves undefined
 _WINANSI_UNDEFINED = frozenset((0x81, 0x8D, 0x8F, 0x90, 0x9D))
 
+#: built-in encoding of the standard Symbol font (PDF 1.7 Appendix D.5 /
+#: Adobe's public symbol encoding vector). A Symbol font with no
+#: /Encoding and no /ToUnicode must NOT decode through StandardEncoding
+#: (byte 0x61 is GREEK ALPHA, not 'a'). PARTIAL by design: the glyphs
+#: with unambiguous Unicode (Greek, operators, arrows, card suits,
+#: set/logic symbols) are mapped; the bracket/paren EXTENDER pieces
+#: (parenlefttp ...) are left out and fall to U+FFFD rather than risk a
+#: wrong mapping.
+_SYMBOL_BUILTIN = {
+    0x20: " ", 0x21: "!", 0x22: "∀", 0x23: "#", 0x24: "∃", 0x25: "%",
+    0x26: "&", 0x27: "∋", 0x28: "(", 0x29: ")", 0x2A: "∗", 0x2B: "+",
+    0x2C: ",", 0x2D: "−", 0x2E: ".", 0x2F: "/",
+    0x3A: ":", 0x3B: ";", 0x3C: "<", 0x3D: "=", 0x3E: ">", 0x3F: "?",
+    0x40: "≅",
+    0x41: "Α", 0x42: "Β", 0x43: "Χ", 0x44: "Δ", 0x45: "Ε", 0x46: "Φ",
+    0x47: "Γ", 0x48: "Η", 0x49: "Ι", 0x4A: "ϑ", 0x4B: "Κ", 0x4C: "Λ",
+    0x4D: "Μ", 0x4E: "Ν", 0x4F: "Ο", 0x50: "Π", 0x51: "Θ", 0x52: "Ρ",
+    0x53: "Σ", 0x54: "Τ", 0x55: "Υ", 0x56: "ς", 0x57: "Ω", 0x58: "Ξ",
+    0x59: "Ψ", 0x5A: "Ζ", 0x5B: "[", 0x5C: "∴", 0x5D: "]", 0x5E: "⊥",
+    0x5F: "_",
+    0x61: "α", 0x62: "β", 0x63: "χ", 0x64: "δ", 0x65: "ε", 0x66: "φ",
+    0x67: "γ", 0x68: "η", 0x69: "ι", 0x6A: "ϕ", 0x6B: "κ", 0x6C: "λ",
+    0x6D: "μ", 0x6E: "ν", 0x6F: "ο", 0x70: "π", 0x71: "θ", 0x72: "ρ",
+    0x73: "σ", 0x74: "τ", 0x75: "υ", 0x76: "ϖ", 0x77: "ω", 0x78: "ξ",
+    0x79: "ψ", 0x7A: "ζ", 0x7B: "{", 0x7C: "|", 0x7D: "}", 0x7E: "∼",
+    0xA1: "ϒ", 0xA2: "′", 0xA3: "≤", 0xA4: "⁄", 0xA5: "∞", 0xA6: "ƒ",
+    0xA7: "♣", 0xA8: "♦", 0xA9: "♥", 0xAA: "♠", 0xAB: "↔", 0xAC: "←",
+    0xAD: "↑", 0xAE: "→", 0xAF: "↓",
+    0xB0: "°", 0xB1: "±", 0xB2: "″", 0xB3: "≥", 0xB4: "×", 0xB5: "∝",
+    0xB6: "∂", 0xB7: "•", 0xB8: "÷", 0xB9: "≠", 0xBA: "≡", 0xBB: "≈",
+    0xBC: "…", 0xBF: "↵",
+    0xC0: "ℵ", 0xC1: "ℑ", 0xC2: "ℜ", 0xC3: "℘", 0xC4: "⊗", 0xC5: "⊕",
+    0xC6: "∅", 0xC7: "∩", 0xC8: "∪", 0xC9: "⊃", 0xCA: "⊇", 0xCB: "⊄",
+    0xCC: "⊂", 0xCD: "⊆", 0xCE: "∈", 0xCF: "∉",
+    0xD0: "∠", 0xD1: "∇", 0xD5: "∏", 0xD6: "√", 0xD7: "⋅", 0xD8: "¬",
+    0xD9: "∧", 0xDA: "∨", 0xDB: "⇔", 0xDC: "⇐", 0xDD: "⇑", 0xDE: "⇒",
+    0xDF: "⇓",
+    0xE0: "◊", 0xE1: "〈", 0xE5: "∑", 0xF1: "〉", 0xF2: "∫",
+}
+# digits 0-9 keep their ASCII identity in the Symbol vector
+_SYMBOL_BUILTIN.update({c: chr(c) for c in range(0x30, 0x3A)})
+
+_SUBSET_PREFIX = re.compile(r"^[A-Z]{6}\+")
+
+
+def basefont_base(name):
+    """BaseFont name with any subset prefix ('FEGJIP+Symbol') stripped."""
+    if not isinstance(name, str):
+        return None
+    return _SUBSET_PREFIX.sub("", name)
+
 
 def base_encoding_table(name):
     """Encoding name -> {code: unicode}. Unknown names fall back to
@@ -477,13 +528,22 @@ def build_font_decoder(spec: dict):
                 out.append(REPLACEMENT)
             return "".join(out)
         return decode_cid
-    if (spec.get("symbolic") and spec.get("encoding") is None
-            and not spec.get("differences")):
-        table = _symbolic_table(spec.get("fontfile"))
+    if spec.get("encoding") is None and not spec.get("differences"):
+        if spec.get("symbolic") and spec.get("fontfile"):
+            table = _symbolic_table(spec.get("fontfile"))
 
-        def decode_symbol(data: bytes) -> str:
-            return "".join(table.get(b, REPLACEMENT) for b in data)
-        return decode_symbol
+            def decode_symbol(data: bytes) -> str:
+                return "".join(table.get(b, REPLACEMENT) for b in data)
+            return decode_symbol
+        if basefont_base(spec.get("basefont")) == "Symbol":
+            def decode_symbol_builtin(data: bytes) -> str:
+                return "".join(_SYMBOL_BUILTIN.get(b, REPLACEMENT)
+                               for b in data)
+            return decode_symbol_builtin
+        if spec.get("symbolic"):
+            # symbolic with no program and no known builtin: codes have
+            # no public semantics — U+FFFD, never StandardEncoding
+            return lambda data: REPLACEMENT * len(data)
     table = base_encoding_table(spec.get("encoding"))
     diffs = spec.get("differences")
     if diffs:

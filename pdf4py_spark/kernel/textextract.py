@@ -276,7 +276,8 @@ def font_decoders(doc: DocumentParser, resources) -> dict:
         if not isinstance(font, dict):
             continue
         spec = {"type0": font.get("Subtype") == "Type0",
-                "encoding": None, "differences": None, "tounicode": None}
+                "encoding": None, "differences": None, "tounicode": None,
+                "basefont": font.get("BaseFont")}
         tu = font.get("ToUnicode")
         if isinstance(tu, Ref):
             tu = doc.resolve(tu)

@@ -497,3 +497,19 @@ def test_xmp_fields_fixture_both_stacks():
     n, line = doc_xmp_fields(DocumentParser(predefined_cmap_pdf()))
     assert n == len(EXPECTED_XMP_FIELDS)
     assert line == xmp_fields_line(EXPECTED_XMP_FIELDS)
+
+
+def test_symbol_builtin_encoding():
+    """A Symbol-BaseFont simple font with no /Encoding, /Differences, or
+    /ToUnicode decodes through the built-in Symbol vector (Greek at the
+    letter positions — NOT StandardEncoding), subset prefixes stripped;
+    unmapped extender glyphs stay U+FFFD."""
+    dec = build_font_decoder({"basefont": "FEGJIP+Symbol"})
+    assert dec(b"abgd") == "αβγδ"
+    assert dec(b"S=pr\xd7h") == "Σ=πρ⋅η"
+    assert dec(b"\x22x \xce A") == "∀ξ ∈ Α"   # 0x78 IS xi in Symbol
+    assert dec(b"\xbd") == "�"          # extender piece: unmapped
+    # a NON-Symbol basefont keeps StandardEncoding
+    assert build_font_decoder({"basefont": "Helvetica"})(b"abg") == "abg"
+    # symbolic flag with no program and no builtin: honest U+FFFD
+    assert build_font_decoder({"symbolic": True})(b"ab") == "��"

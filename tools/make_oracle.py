@@ -229,7 +229,8 @@ def _font_decoders_ref(parser, resources):
         if not isinstance(font, dict):
             continue
         spec = {"type0": font.get("Subtype") == "Type0",
-                "encoding": None, "differences": None, "tounicode": None}
+                "encoding": None, "differences": None, "tounicode": None,
+                "basefont": font.get("BaseFont")}
         tu = _rr(parser, font.get("ToUnicode"))
         if isinstance(tu, PDFStream):
             try:
