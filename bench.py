@@ -189,6 +189,7 @@ BENCH_QUERIES = (
     "corpus_split",
     "tokenize_bpe",
     "quality_repetition",
+    "quality_c4_rules",
     "dedup_paragraph",
     "bigram_pmi",
     "sessions_stream",

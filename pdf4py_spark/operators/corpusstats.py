@@ -263,9 +263,79 @@ QUALIFY rank <= {topk}
 """.format(minc=PMI_MIN_COUNT, topk=PMI_TOP_K)
 
 
+# --- C4-style unit filter rules (round 5) ------------------------------------------
+
+#: minimum words for a sentence unit to survive (C4 keeps lines with
+#: >= 5 words; the synthetic corpus' '. '-units are shorter, so the
+#: gate uses 3 to stay non-vacuous — the algebra is the point)
+C4_MIN_UNIT_WORDS = 3
+#: unit-level code/boilerplate markers (C4 drops lines containing '{'
+#: or the word 'javascript'; 'lorem ipsum' kills the whole document)
+C4_UNIT_BAD = ("{", "javascript")
+C4_DOC_BAD = "lorem ipsum"
+
+
+def quality_c4_rules(spark, sf_dir):
+    """C4-style cleaning accounting, fully per-row (C4: Raffel et al.
+    2020 §2.2 — public ruleset): sentence units shorter than
+    C4_MIN_UNIT_WORDS words or containing code/boilerplate markers are
+    dropped; a 'lorem ipsum' hit anywhere discards the document. Pure
+    Catalyst higher-order array functions (split -> filter -> aggregate)
+    — ZERO shuffles at any corpus scale; emits per-doc kept/dropped
+    counts, kept-character volume, and the keep flag."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    bad_pred = " OR ".join(
+        "contains(lower(u), '%s')" % m for m in C4_UNIT_BAD)
+    staged = (docs
+              .withColumn("units", F.expr(
+                  r"filter(split(text, '\\. '), u -> length(u) > 0)"))
+              .withColumn("kept_arr", F.expr(
+                  "filter(units, u -> size(split(u, ' ')) >= %d "
+                  "AND NOT (%s))" % (C4_MIN_UNIT_WORDS, bad_pred))))
+    out = staged.select(
+        "doc_id",
+        F.size("units").cast("bigint").alias("n_units"),
+        F.size("kept_arr").cast("bigint").alias("n_kept"),
+        F.expr("aggregate(kept_arr, 0L, (acc, u) -> acc + length(u))")
+        .alias("kept_chars"),
+        F.expr("contains(lower(text), '%s')" % C4_DOC_BAD)
+        .alias("has_doc_bad"))
+    return out.withColumn(
+        "keep", (~F.col("has_doc_bad")) & (F.col("n_kept") > 0))
+
+
+QUALITY_C4_SQL = """
+WITH u AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, '. '),
+                     u -> length(u) > 0) AS units
+  FROM documents
+),
+k AS (
+  SELECT doc_id, text, units,
+         list_filter(units,
+            u -> len(string_split(u, ' ')) >= {minw}
+                 AND NOT ({bad})) AS kept
+  FROM u
+)
+SELECT doc_id,
+       CAST(len(units) AS BIGINT) AS n_units,
+       CAST(len(kept) AS BIGINT) AS n_kept,
+       CAST(COALESCE(list_sum(list_transform(kept, u -> length(u))), 0)
+            AS BIGINT) AS kept_chars,
+       contains(lower(text), '{docbad}') AS has_doc_bad,
+       NOT contains(lower(text), '{docbad}') AND len(kept) > 0 AS keep
+FROM k
+""".format(minw=C4_MIN_UNIT_WORDS,
+           bad=" OR ".join("contains(lower(u), '%s')" % m
+                           for m in C4_UNIT_BAD),
+           docbad=C4_DOC_BAD)
+
+
 QUERIES = {
     "quality_repetition": QuerySpec(quality_repetition,
                                     QUALITY_REPETITION_SQL),
+    "quality_c4_rules": QuerySpec(quality_c4_rules, QUALITY_C4_SQL),
     "dedup_paragraph": QuerySpec(dedup_paragraph, DEDUP_PARAGRAPH_SQL),
     "bigram_pmi": QuerySpec(bigram_pmi, BIGRAM_PMI_SQL),
 }

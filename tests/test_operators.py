@@ -668,3 +668,46 @@ def test_lang_confusion_shares_sum_to_one(spark, queries):
         assert (r["labeled_lang"] == r["predicted_lang"]) == r["is_correct"]
     for label, cells in by_label.items():
         assert abs(sum(c["label_share"] for c in cells) - 1.0) < 1e-9
+
+
+def test_persist_tracking_and_release(spark, queries):
+    """r4 advice #4 lifecycle contract: operator persists register with
+    the module tracker; release_caches() unpersists them all and drops
+    the shared minhash signature cache, so long-lived sessions don't
+    accumulate cached relations across suite iterations."""
+    import pdf4py_spark.operators as ops
+    from pdf4py_spark.operators import dedup
+
+    ops.release_caches()
+    assert not ops._PERSISTED and not dedup._SIG_CACHE
+    queries["dedup_minhash_lsh"].fn(spark, SF).count()
+    queries["dedup_minhash_clusters"].fn(spark, SF).count()
+    # ONE shared signature relation + the per-query persists
+    assert len(dedup._SIG_CACHE) == 1
+    assert len(ops._PERSISTED) >= 3
+    sig = next(iter(dedup._SIG_CACHE.values()))
+    assert sig.storageLevel.useMemory
+    released = ops.release_caches()
+    assert released >= 3
+    assert not ops._PERSISTED and not dedup._SIG_CACHE
+    assert not sig.storageLevel.useMemory  # actually unpersisted
+
+
+def test_quality_c4_rules_algebra(spark, queries):
+    """C4 unit filters: counts consistent, kept_chars is the sum over
+    the kept units only, short-unit docs drop units, keep flag honors
+    both gates."""
+    rows = {r["doc_id"]: r
+            for r in queries["quality_c4_rules"].fn(spark, SF).collect()}
+    docs = {r["doc_id"]: r["text"] for r in
+            spark.read.parquet(SF + "/documents.parquet").collect()}
+    import re as _re
+    for doc_id, r in rows.items():
+        units = [u for u in _re.split(r"\. ", docs[doc_id]) if u]
+        kept = [u for u in units
+                if len(u.split(" ")) >= 3
+                and "{" not in u.lower() and "javascript" not in u.lower()]
+        assert r["n_units"] == len(units), doc_id
+        assert r["n_kept"] == len(kept), doc_id
+        assert r["kept_chars"] == sum(len(u) for u in kept), doc_id
+        assert r["keep"] == (not r["has_doc_bad"] and len(kept) > 0)
