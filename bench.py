@@ -192,6 +192,9 @@ BENCH_QUERIES = (
     "quality_c4_rules",
     "dedup_paragraph",
     "bigram_pmi",
+    "sequence_pack",
+    "source_mixture",
+    "pii_scrub",
     "sessions_stream",
     "dedup_stream",
 )

