@@ -193,6 +193,54 @@ _SYMBOL_BUILTIN = {
 # digits 0-9 keep their ASCII identity in the Symbol vector
 _SYMBOL_BUILTIN.update({c: chr(c) for c in range(0x30, 0x3A)})
 
+#: built-in encoding of the standard ZapfDingbats font (PDF 1.7
+#: Appendix D.6). Unicode's U+2700 block was TAKEN from ITC Zapf
+#: Dingbats, so codes 0x21-0x7E map to 0x2700 + (code - 0x20) except
+#: where Unicode 1.0 already had the symbol elsewhere (telephone,
+#: pointing hands, black star, geometric shapes); the ornamental
+#: brackets live at 0x80-0x8D = U+2768-2775, and the upper half carries
+#: ornaments, card suits, the three circled-digit series, and arrows.
+#: PARTIAL like the Symbol table: the handful of upper-range ornaments
+#: whose codepoints are not certain are left to U+FFFD.
+_ZAPF_EXCEPTIONS = {
+    0x25: 0x260E,  # telephone
+    0x2A: 0x261B,  # black right-pointing index
+    0x2B: 0x261E,  # white right-pointing index
+    0x48: 0x2605,  # black star
+    0x6C: 0x25CF,  # black circle
+    0x6E: 0x25A0,  # black square
+    0x73: 0x25B2,  # black up triangle
+    0x74: 0x25BC,  # black down triangle
+    0x75: 0x25C6,  # black diamond
+    0x77: 0x25D7,  # right half black circle
+}
+_ZAPF_BUILTIN = {0x20: " "}
+for _c in range(0x21, 0x7F):
+    _ZAPF_BUILTIN[_c] = chr(_ZAPF_EXCEPTIONS.get(_c, 0x2700 + _c - 0x20))
+for _c in range(0x80, 0x8E):               # ornamental brackets
+    _ZAPF_BUILTIN[_c] = chr(0x2768 + _c - 0x80)
+for _c in range(0xA1, 0xA8):               # ornaments ❡-❧
+    _ZAPF_BUILTIN[_c] = chr(0x2761 + _c - 0xA1)
+_ZAPF_BUILTIN.update({
+    0xA8: "♣", 0xA9: "♦", 0xAA: "♥", 0xAB: "♠",
+    0xD4: "➔", 0xD5: "→", 0xD6: "↔", 0xD7: "↕",
+})
+for _c in range(0xAC, 0xB6):               # circled one..ten
+    _ZAPF_BUILTIN[_c] = chr(0x2460 + _c - 0xAC)
+for _c in range(0xB6, 0xC0):               # negative circled one..ten
+    _ZAPF_BUILTIN[_c] = chr(0x2776 + _c - 0xB6)
+for _c in range(0xC0, 0xCA):               # sans-serif circled
+    _ZAPF_BUILTIN[_c] = chr(0x2780 + _c - 0xC0)
+for _c in range(0xCA, 0xD4):               # negative sans-serif circled
+    _ZAPF_BUILTIN[_c] = chr(0x278A + _c - 0xCA)
+for _c in range(0xD8, 0xFF):               # heavy/ornamental arrows
+    _ZAPF_BUILTIN[_c] = chr(0x2798 + _c - 0xD8)
+del _c
+
+#: BaseFont base name -> built-in table for the standard symbol fonts
+_BUILTIN_ENCODINGS = {"Symbol": _SYMBOL_BUILTIN,
+                      "ZapfDingbats": _ZAPF_BUILTIN}
+
 _SUBSET_PREFIX = re.compile(r"^[A-Z]{6}\+")
 
 
@@ -535,11 +583,12 @@ def build_font_decoder(spec: dict):
             def decode_symbol(data: bytes) -> str:
                 return "".join(table.get(b, REPLACEMENT) for b in data)
             return decode_symbol
-        if basefont_base(spec.get("basefont")) == "Symbol":
-            def decode_symbol_builtin(data: bytes) -> str:
-                return "".join(_SYMBOL_BUILTIN.get(b, REPLACEMENT)
-                               for b in data)
-            return decode_symbol_builtin
+        builtin = _BUILTIN_ENCODINGS.get(
+            basefont_base(spec.get("basefont")))
+        if builtin is not None:
+            def decode_builtin(data: bytes) -> str:
+                return "".join(builtin.get(b, REPLACEMENT) for b in data)
+            return decode_builtin
         if spec.get("symbolic"):
             # symbolic with no program and no known builtin: codes have
             # no public semantics — U+FFFD, never StandardEncoding

@@ -513,3 +513,22 @@ def test_symbol_builtin_encoding():
     assert build_font_decoder({"basefont": "Helvetica"})(b"abg") == "abg"
     # symbolic flag with no program and no builtin: honest U+FFFD
     assert build_font_decoder({"symbolic": True})(b"ab") == "��"
+
+
+def test_zapf_dingbats_builtin_encoding():
+    """ZapfDingbats without /Encoding or /ToUnicode: the U+2700-block
+    sequential rule with its Unicode-1.0 exceptions, ornamental
+    brackets, card suits, and the circled-digit series."""
+    dec = build_font_decoder({"basefont": "LKECKL+ZapfDingbats"})
+    assert dec(b"\x21\x22") == "✁✂"            # scissors
+    assert dec(b"\x33\x34") == "✓✔"            # check marks
+    assert dec(b"\x25") == "☎"                 # telephone exception
+    assert dec(b"\x2a\x2b") == "☛☞"            # pointing hands
+    assert dec(b"\x48") == "★"                 # black star exception
+    assert dec(b"\x6c\x6e") == "●■"            # geometric exceptions
+    assert dec(b"\x80\x8d") == "❨❵"            # ornamental brackets
+    assert dec(b"\xa8\xa9\xaa\xab") == "♣♦♥♠"  # suits
+    assert dec(b"\xac\xb5") == "①⑩"            # circled digits
+    assert dec(b"\xb6\xbf") == "❶❿"
+    assert dec(b"\xd5\xd6\xd7") == "→↔↕"
+    assert dec(b"\x8e") == "�"                 # unmapped slot stays FFFD
