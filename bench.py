@@ -197,6 +197,7 @@ BENCH_QUERIES = (
     "pii_scrub",
     "sessions_stream",
     "dedup_stream",
+    "frontier_stream",
 )
 
 

@@ -282,9 +282,93 @@ SELECT DISTINCT md5(text) AS text_hash FROM documents
 """
 
 
+#: synthetic crawl-time horizon for frontier_stream: each doc's fetch
+#: time is doc_id % FRONTIER_SPAN_MIN minutes past the epoch, so the
+#: replay spans several 1-hour windows and the 30-min watermark leaves
+#: the last window(s) open — the append-mode gate then proves window
+#: CLOSURE semantics, not just the aggregation
+FRONTIER_SPAN_MIN = 300
+FRONTIER_WATERMARK = "30 minutes"
+
+
+def frontier_stream(spark, sf_dir):
+    """Streaming crawl-frontier rollup — the ingest-time shape of
+    webtext.outlink_frontier: pages arrive as an event-time-ordered
+    file stream, anchors are extracted/resolved by the SAME stateless
+    stage the batch query uses (webtext.outlinks_from — one plan, two
+    execution modes), external target domains are aggregated per
+    1-hour fetch window under a watermark, and only CLOSED windows land
+    in the append-mode checkpointed sink. State is bounded by (open
+    windows x domain cardinality); the oracle restricts to windows
+    whose end <= max(ts) - delay, the same contract as
+    events_hourly_stream."""
+    from ..operators.webtext import outlinks_from
+
+    base = _stream_base(spark, "frontier_stream")
+    src, out = os.path.join(base, "in"), os.path.join(base, "out")
+    with _drain_conf(spark, src):
+        docs = (spark.read
+                .parquet(os.path.join(sf_dir, "documents.parquet"))
+                .select("doc_id", "text")
+                .withColumn("ts", F.expr(
+                    "timestampadd(MINUTE, cast(doc_id %% %d as int), "
+                    "TIMESTAMP '2024-01-01 00:00:00')"
+                    % FRONTIER_SPAN_MIN)))
+        _replay_ordered(spark, docs, "ts", src)
+        stream = (spark.readStream
+                  .schema("doc_id bigint, text string, ts timestamp")
+                  .option("maxFilesPerTrigger", 2).parquet(src))
+        links = outlinks_from(stream, extra_cols=("ts",))
+        agg = (links.where(~F.col("is_internal"))
+               .withWatermark("ts", FRONTIER_WATERMARK)
+               .groupBy(F.window("ts", "1 hour").alias("w"),
+                        "target_domain")
+               .agg(F.count("*").alias("n_links"))
+               .select(F.col("w.start").alias("ws"),
+                       "target_domain", "n_links"))
+        q = (agg.writeStream.outputMode("append").format("parquet")
+             .option("checkpointLocation", os.path.join(out, "_chk"))
+             .option("path", os.path.join(out, "frontier"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+    return (spark.read.parquet(os.path.join(out, "frontier"))
+            .select(F.expr("unix_micros(ws)").alias("window_start_us"),
+                    "target_domain", "n_links"))
+
+
+# the oracle reuses the BATCH outlink CTE chain (webtext._OUTLINK_CTES)
+# plus the synthetic fetch time and the closed-window restriction
+def _frontier_stream_sql():
+    from ..operators.webtext import (
+        _HTML_WRAP_SQL, _OUTLINK_CTES, _RAW_URL_SQL,
+    )
+    from ..operators.psl import registrable_domain_sql
+
+    tail = """
+, timed AS (
+  SELECT o.doc_id, o.target_domain,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + CAST(o.doc_id % {span} AS BIGINT) * INTERVAL 1 MINUTE
+           AS ts
+  FROM outlinks o
+  WHERE NOT o.is_internal
+)
+SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+       target_domain, COUNT(*) AS n_links
+FROM timed
+WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
+      <= (SELECT max(ts) - INTERVAL 30 MINUTE FROM timed)
+GROUP BY 1, 2
+""".format(span=FRONTIER_SPAN_MIN)
+    return (_OUTLINK_CTES + tail).format(
+        raw_url=_RAW_URL_SQL, html_wrap=_HTML_WRAP_SQL,
+        domain=registrable_domain_sql("labs"))
+
+
 QUERIES = {
     "events_hourly_stream": QuerySpec(events_hourly_stream,
                                       EVENTS_HOURLY_STREAM_SQL),
     "sessions_stream": QuerySpec(sessions_stream, SESSIONS_STREAM_SQL),
     "dedup_stream": QuerySpec(dedup_stream, DEDUP_STREAM_SQL),
+    "frontier_stream": QuerySpec(frontier_stream, _frontier_stream_sql()),
 }

@@ -277,9 +277,16 @@ _HTML_WRAP = (
 _HREF_RE = r'<a href="([^"]+)"'
 
 
-def _outlink_rows(spark, sf_dir):
-    docs = table(spark, sf_dir, "documents")
-    raw = docs.select("doc_id", "text", F.expr(_RAW_URL).alias("url"))
+def outlinks_from(docs, extra_cols=()):
+    """The outlink explode/resolve stage over any DataFrame carrying
+    (doc_id, text) — BATCH OR STREAMING (every expression here is
+    stateless, so the same plan drops into a readStream unchanged; the
+    streaming leg operators.streaming_queries.frontier_stream does
+    exactly that). ``extra_cols`` are carried through untouched (the
+    streaming leg threads its event-time column)."""
+    extra = list(extra_cols)
+    raw = docs.select("doc_id", "text", *extra,
+                      F.expr(_RAW_URL).alias("url"))
     pscheme = F.lower(F.regexp_extract(
         "url", r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     phost = F.regexp_replace(
@@ -287,10 +294,10 @@ def _outlink_rows(spark, sf_dir):
             "url", r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)),
         r":[0-9]+$", "")
     pages = raw.select(
-        "doc_id", pscheme.alias("pscheme"), phost.alias("phost"),
-        F.expr(_HTML_WRAP).alias("html"))
+        "doc_id", *extra, pscheme.alias("pscheme"),
+        phost.alias("phost"), F.expr(_HTML_WRAP).alias("html"))
     links = pages.select(
-        "doc_id", "pscheme", "phost",
+        "doc_id", *extra, "pscheme", "phost",
         F.explode(F.regexp_extract_all(
             "html", F.lit(_HREF_RE), 1)).alias("raw_link"))
     lscheme = F.lower(F.regexp_extract(
@@ -309,12 +316,16 @@ def _outlink_rows(spark, sf_dir):
     return (links
             .withColumn("target_host", target_host)
             .where(F.col("target_host").isNotNull())
-            .select("doc_id", "raw_link",
+            .select("doc_id", *extra, "raw_link",
                     resolved.alias("resolved_url"), "target_host",
                     registrable_domain(F.col("target_host"))
                     .alias("target_domain"),
                     (F.col("target_host") == F.col("phost"))
                     .alias("is_internal")))
+
+
+def _outlink_rows(spark, sf_dir):
+    return outlinks_from(table(spark, sf_dir, "documents"))
 
 
 def html_outlinks(spark, sf_dir):
