@@ -532,3 +532,35 @@ def test_zapf_dingbats_builtin_encoding():
     assert dec(b"\xb6\xbf") == "❶❿"
     assert dec(b"\xd5\xd6\xd7") == "→↔↕"
     assert dec(b"\x8e") == "�"                 # unmapped slot stays FFFD
+
+
+def test_new_decode_surfaces_total_on_garbage():
+    """Totality fuzz over the round-5 surfaces: predefined CMap
+    decoders, the symbolic-table builder, the builtin dispatch, and the
+    XMP field scan must never raise on arbitrary bytes (the quarantine
+    contract reaches down here)."""
+    from hypothesis import given, settings, strategies as st
+
+    from pdf4py_spark.kernel.docmeta import xmp_fields
+    from pdf4py_spark.kernel.fonts import (
+        PREDEFINED_CMAP_DECODERS, _symbolic_table,
+    )
+
+    decoders = sorted(PREDEFINED_CMAP_DECODERS)
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=400), st.sampled_from(decoders),
+           st.sampled_from([None, "Symbol", "ZapfDingbats",
+                            "ABCDEF+Symbol", "NoSuch"]))
+    def check(data, cmap_base, basefont):
+        out = PREDEFINED_CMAP_DECODERS[cmap_base](data)
+        assert isinstance(out, str)
+        dec = build_font_decoder({"basefont": basefont,
+                                  "symbolic": len(data) % 2 == 0,
+                                  "fontfile": data or None})
+        assert isinstance(dec(data), str)
+        assert isinstance(_symbolic_table(data), dict)
+        fields = xmp_fields(data)
+        assert isinstance(fields, list) and len(fields) <= 3 * 64
+
+    check()
