@@ -186,6 +186,7 @@ BENCH_QUERIES = (
     "domain_rollup",
     "html_outlinks",
     "outlink_frontier",
+    "domain_pagerank",
     "corpus_split",
     "tokenize_bpe",
     "quality_repetition",

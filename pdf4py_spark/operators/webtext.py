@@ -318,6 +318,8 @@ def outlinks_from(docs, extra_cols=()):
             .where(F.col("target_host").isNotNull())
             .select("doc_id", *extra, "raw_link",
                     resolved.alias("resolved_url"), "target_host",
+                    registrable_domain(F.col("phost"))
+                    .alias("src_domain"),
                     registrable_domain(F.col("target_host"))
                     .alias("target_domain"),
                     (F.col("target_host") == F.col("phost"))
@@ -332,7 +334,7 @@ def html_outlinks(spark, sf_dir):
     """Per-page outlink table: href extraction, relative-link
     resolution, scheme filtering, PSL target domain. Pure codegen +
     one explode — zero shuffles."""
-    return _outlink_rows(spark, sf_dir)
+    return _outlink_rows(spark, sf_dir).drop("src_domain")
 
 
 def outlink_frontier(spark, sf_dir):
@@ -405,7 +407,7 @@ resolved AS (
   FROM typed
 ),
 outlinks AS (
-  SELECT doc_id, raw_link, resolved_url, target_host,
+  SELECT doc_id, raw_link, resolved_url, target_host, phost,
          {domain} AS target_domain,
          target_host = phost AS is_internal
   FROM (SELECT *, string_split(target_host, '.') AS labs
@@ -427,6 +429,98 @@ FROM outlinks WHERE NOT is_internal
 GROUP BY target_domain
 """).format(raw_url=_RAW_URL_SQL, html_wrap=_HTML_WRAP_SQL,
             domain=registrable_domain_sql("labs"))
+
+
+# --- fixed-point domain PageRank (round 5) -----------------------------------------
+#
+# Crawl-prioritization authority over the registrable-domain link graph
+# derived from the outlink stage. INTEGER fixed-point on purpose: float
+# PageRank sums contributions in shuffle order, so two engines (or two
+# runs) disagree in the last ulps and a value-hash gate cannot pass.
+# With ranks scaled by PR_SCALE and every per-edge contribution an
+# integer floor-division, each iteration is exact 64-bit arithmetic —
+# SUM over integers is order-independent — and five iterations are
+# bit-identical everywhere. Dangling-domain rank leaks (standard
+# simplification; declared). Scale shape: the edge relation is
+# domain-to-domain (cardinality ~millions at web scale, not trillions),
+# persisted once; each iteration is one join + one hash aggregate on it
+# — the same alternating shape as dedup_minhash_cc, with a fixed
+# iteration count instead of a fixpoint test.
+
+PR_SCALE = 1_000_000_000
+PR_ITERS = 5
+#: damping 0.85 as the integer pair (85, 100)
+_PR_D_NUM, _PR_D_DEN = 85, 100
+
+
+def domain_pagerank(spark, sf_dir):
+    from . import persist_tracked
+
+    links = _outlink_rows(spark, sf_dir).where(~F.col("is_internal"))
+    edges = (links.groupBy(F.col("src_domain").alias("src"),
+                           F.col("target_domain").alias("dst"))
+             .agg(F.count("*").alias("w")))
+    wtot = edges.groupBy("src").agg(F.sum("w").alias("wtot"))
+    edges = persist_tracked(edges.join(wtot, "src"))
+    nodes = persist_tracked(
+        edges.select(F.col("src").alias("domain"))
+        .union(edges.select(F.col("dst").alias("domain")))
+        .distinct())
+    base = PR_SCALE * (_PR_D_DEN - _PR_D_NUM) // _PR_D_DEN
+    ranks = nodes.select(
+        "domain", F.lit(PR_SCALE).cast("bigint").alias("rank"))
+    for _ in range(PR_ITERS):
+        contrib = (edges.join(ranks, edges["src"] == ranks["domain"])
+                   .select(F.col("dst").alias("domain"),
+                           F.expr("rank * w div wtot").alias("c"))
+                   .groupBy("domain")
+                   .agg(F.sum("c").alias("in_sum")))
+        ranks = (nodes.join(contrib, "domain", "left")
+                 .select("domain", (F.lit(base) + F.expr(
+                     "%d * coalesce(in_sum, 0L) div %d"
+                     % (_PR_D_NUM, _PR_D_DEN))).cast("bigint")
+                     .alias("rank")))
+    return ranks.select("domain", F.col("rank").alias("rank_scaled"))
+
+
+def _pagerank_sql():
+    base = PR_SCALE * (_PR_D_DEN - _PR_D_NUM) // _PR_D_DEN
+    ctes = [
+        """edges0 AS (
+  SELECT {src} AS src, target_domain AS dst, COUNT(*) AS w
+  FROM (SELECT *, string_split(phost, '.') AS plabs
+        FROM outlinks WHERE NOT is_internal)
+  GROUP BY 1, 2
+)""".format(src=registrable_domain_sql("plabs")),
+        """edges_w AS (
+  SELECT e.src, e.dst, CAST(e.w AS BIGINT) AS w,
+         CAST(t.wtot AS BIGINT) AS wtot
+  FROM edges0 e JOIN (SELECT src, SUM(w) AS wtot FROM edges0
+                      GROUP BY src) t USING (src)
+)""",
+        """nodes AS (
+  SELECT DISTINCT src AS domain FROM edges_w
+  UNION SELECT DISTINCT dst FROM edges_w
+)""",
+        "r0 AS (SELECT domain, CAST(%d AS BIGINT) AS rank FROM nodes)"
+        % PR_SCALE,
+    ]
+    for k in range(1, PR_ITERS + 1):
+        ctes.append("""r{k} AS (
+  SELECT n.domain,
+         CAST({base} + ({num} * COALESCE(s.in_sum, 0)) // {den}
+              AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS domain,
+           SUM((r.rank * e.w) // e.wtot) AS in_sum
+    FROM edges_w e JOIN r{km1} r ON e.src = r.domain
+    GROUP BY e.dst) s USING (domain)
+)""".format(k=k, km1=k - 1, base=base, num=_PR_D_NUM, den=_PR_D_DEN))
+    return (_OUTLINK_CTES.format(
+        raw_url=_RAW_URL_SQL, html_wrap=_HTML_WRAP_SQL,
+        domain=registrable_domain_sql("labs"))
+        + ", " + ",\n".join(ctes)
+        + "\nSELECT domain, rank AS rank_scaled FROM r%d\n" % PR_ITERS)
 
 
 def corpus_split(spark, sf_dir):
@@ -471,5 +565,6 @@ QUERIES = {
     "domain_rollup": QuerySpec(domain_rollup, DOMAIN_ROLLUP_SQL),
     "html_outlinks": QuerySpec(html_outlinks, HTML_OUTLINKS_SQL),
     "outlink_frontier": QuerySpec(outlink_frontier, OUTLINK_FRONTIER_SQL),
+    "domain_pagerank": QuerySpec(domain_pagerank, _pagerank_sql()),
     "corpus_split": QuerySpec(corpus_split, CORPUS_SPLIT_SQL),
 }
