@@ -187,6 +187,8 @@ BENCH_QUERIES = (
     "html_outlinks",
     "outlink_frontier",
     "domain_pagerank",
+    "anchor_text_rollup",
+    "robots_gate",
     "corpus_split",
     "tokenize_bpe",
     "quality_repetition",

@@ -263,14 +263,15 @@ _HTML_WRAP = (
     "concat("
     " '<html><body><p>', text, '</p>',"
     " '<a href=\"https://Partner', cast(doc_id % 7 as string),"
-    " '.Example.COM/p/', cast(doc_id as string), '\">p</a>',"
+    " '.Example.COM/p/', cast(doc_id as string),"
+    " '\">partner site ', cast(doc_id % 4 as string), '</a>',"
     " case when doc_id % 3 = 0 then"
     "   concat('<a href=\"/local/', cast(doc_id % 13 as string),"
-    "          '\">l</a>') else '' end,"
-    " '<a href=\"mailto:user@example.com\">m</a>',"
+    "          '\">see also</a>') else '' end,"
+    " '<a href=\"mailto:user@example.com\">mail us</a>',"
     " case when doc_id % 2 = 0 then"
     "   concat('<a href=\"HTTP://News', cast(doc_id % 5 as string),"
-    "          '.Shop.CO.UK/q\">n</a>') else '' end,"
+    "          '.Shop.CO.UK/q\">breaking news</a>') else '' end,"
     " '</body></html>')"
 )
 
@@ -352,14 +353,16 @@ def outlink_frontier(spark, sf_dir):
 _HTML_WRAP_SQL = """
   '<html><body><p>' || text || '</p>'
   || '<a href="https://Partner' || CAST(doc_id % 7 AS VARCHAR)
-  || '.Example.COM/p/' || CAST(doc_id AS VARCHAR) || '">p</a>'
+  || '.Example.COM/p/' || CAST(doc_id AS VARCHAR)
+  || '">partner site ' || CAST(doc_id % 4 AS VARCHAR) || '</a>'
   || CASE WHEN doc_id % 3 = 0 THEN
-       '<a href="/local/' || CAST(doc_id % 13 AS VARCHAR) || '">l</a>'
+       '<a href="/local/' || CAST(doc_id % 13 AS VARCHAR)
+       || '">see also</a>'
      ELSE '' END
-  || '<a href="mailto:user@example.com">m</a>'
+  || '<a href="mailto:user@example.com">mail us</a>'
   || CASE WHEN doc_id % 2 = 0 THEN
        '<a href="HTTP://News' || CAST(doc_id % 5 AS VARCHAR)
-       || '.Shop.CO.UK/q">n</a>'
+       || '.Shop.CO.UK/q">breaking news</a>'
      ELSE '' END
   || '</body></html>'
 """
@@ -429,6 +432,167 @@ FROM outlinks WHERE NOT is_internal
 GROUP BY target_domain
 """).format(raw_url=_RAW_URL_SQL, html_wrap=_HTML_WRAP_SQL,
             domain=registrable_domain_sql("labs"))
+
+
+# --- anchor-text rollup (round 5) --------------------------------------------------
+#
+# The OTHER crawl signal anchors carry: what linking pages CALL the
+# target (anchor text feeds ranking features and query-independent
+# document descriptions). Full <a> tags are exploded first, then href
+# and text are extracted per tag — alignment-free by construction
+# (zipping two separate extract-all lists would silently mispair when
+# one regex matches a tag the other doesn't).
+
+_ATAG_RE = r'<a href="[^"]+">[^<]*</a>'
+_ATAG_HREF = r'<a href="([^"]+)">'
+_ATAG_TEXT = r'>([^<]*)</a>'
+
+
+def anchor_text_rollup(spark, sf_dir):
+    """(target_domain, anchor_text) -> link count over EXTERNAL web
+    links: tag explode -> per-tag href/text extracts -> resolution via
+    the same scheme rules as the outlink stage -> one hash aggregate.
+    Codegen + one explode + one shuffle at domain x phrase cardinality."""
+    docs = table(spark, sf_dir, "documents")
+    raw = docs.select("doc_id", "text", F.expr(_RAW_URL).alias("url"))
+    phost = F.regexp_replace(
+        F.lower(F.regexp_extract(
+            "url", r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)),
+        r":[0-9]+$", "")
+    tags = (raw.select("doc_id", phost.alias("phost"),
+                       F.expr(_HTML_WRAP).alias("html"))
+            .select("doc_id", "phost",
+                    F.explode(F.regexp_extract_all(
+                        "html", F.lit(_ATAG_RE), 0)).alias("tag")))
+    href = F.regexp_extract("tag", _ATAG_HREF, 1)
+    atext = F.regexp_extract("tag", _ATAG_TEXT, 1)
+    lscheme = F.lower(F.regexp_extract(
+        href, r"^([A-Za-z][A-Za-z0-9+.-]*):", 1))
+    lhost = F.lower(F.regexp_extract(
+        href, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    rows = (tags.select(
+        "doc_id", atext.alias("anchor_text"),
+        F.when(lscheme.isin("http", "https"), lhost).alias("thost"),
+        "phost")
+        .where(F.col("thost").isNotNull()
+               & (F.col("thost") != F.col("phost"))))
+    return (rows
+            .select(registrable_domain(F.col("thost"))
+                    .alias("target_domain"), "anchor_text")
+            .groupBy("target_domain", "anchor_text")
+            .agg(F.count("*").alias("n_links")))
+
+
+ANCHOR_TEXT_SQL = """
+WITH raw AS (
+  SELECT doc_id, text, {raw_url} AS url FROM documents
+),
+page AS (
+  SELECT doc_id,
+         regexp_replace(lower(regexp_extract(url,
+             '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+             ':[0-9]+$', '') AS phost,
+         {html_wrap} AS html
+  FROM raw
+),
+tags AS (
+  SELECT doc_id, phost,
+         unnest(regexp_extract_all(html,
+             '<a href="[^"]+">[^<]*</a>', 0)) AS tag
+  FROM page
+),
+pairs AS (
+  SELECT doc_id, phost,
+         regexp_extract(tag, '<a href="([^"]+)">', 1) AS href,
+         regexp_extract(tag, '>([^<]*)</a>', 1) AS anchor_text
+  FROM tags
+),
+ext AS (
+  SELECT anchor_text,
+         lower(regexp_extract(href,
+             '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS thost
+  FROM pairs
+  WHERE lower(regexp_extract(href,
+            '^([A-Za-z][A-Za-z0-9+.-]*):', 1)) IN ('http', 'https')
+    AND lower(regexp_extract(href,
+            '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) <> phost
+)
+SELECT {domain} AS target_domain, anchor_text, COUNT(*) AS n_links
+FROM (SELECT *, string_split(thost, '.') AS labs FROM ext)
+GROUP BY 1, 2
+""".format(raw_url=_RAW_URL_SQL, html_wrap=_HTML_WRAP_SQL,
+           domain=registrable_domain_sql("labs"))
+
+
+# --- robots.txt longest-match gate (round 5) ---------------------------------------
+
+#: deterministic per-domain robots policies (production loads parsed
+#: robots.txt; the OPERATOR is the RFC 9309 matcher): rule = (domain,
+#: 'allow'|'deny', path prefix). Most-specific (longest prefix) match
+#: wins; tie -> allow; no match -> allow.
+ROBOTS_RULES = (
+    ("mirror.net", "deny", "/"),
+    ("mirror.net", "allow", "/Docs/1"),     # carve-out under a deny-all
+    ("crawl.dev", "deny", "/Docs/2"),
+    ("shop.co.uk", "deny", "/"),
+    ("shop.co.uk", "allow", "/Docs"),       # longer allow wins
+    ("example.com", "deny", "/private"),    # never matches: stays allowed
+)
+
+
+def robots_gate(spark, sf_dir):
+    """RFC 9309 path matching per URL: broadcast the per-domain rule
+    dim, keep prefix matches, pick the longest (allow wins length
+    ties), default allow. The winner is selected with ONE max-of-struct
+    aggregate — (prefix length, is_allow) compares lexicographically —
+    so the plan is a broadcast join + a single hash aggregate; no
+    window, no skew surface beyond the rollup itself."""
+    urls = _with_canonical(
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.expr(_RAW_URL).alias("url")))
+    rules = spark.createDataFrame(
+        list(ROBOTS_RULES), "domain string, verdict string, prefix string")
+    matched = (urls
+               .join(F.broadcast(rules), "domain", "left")
+               .withColumn("hit", F.col("prefix").isNotNull()
+                           & F.col("path").startswith(F.col("prefix"))))
+    best = (matched.groupBy("doc_id", "canonical_url", "domain")
+            .agg(F.max(F.when(F.col("hit"), F.struct(
+                F.length("prefix").alias("l"),
+                (F.col("verdict") == "allow").alias("a"))))
+                .alias("m")))
+    return best.select(
+        "doc_id", "canonical_url", "domain",
+        F.coalesce(F.col("m.a"), F.lit(True)).alias("allowed"),
+        F.coalesce(F.col("m.l"), F.lit(0)).cast("int")
+        .alias("matched_len"))
+
+
+def _robots_values_sql():
+    rows = ", ".join("('%s', '%s', '%s')" % r for r in ROBOTS_RULES)
+    return "(VALUES %s) AS rb(domain, verdict, prefix)" % rows
+
+
+ROBOTS_GATE_SQL = (_CANON_CTES + """
+, matched AS (
+  SELECT c.doc_id, c.canonical_url, c.domain, c.path,
+         rb.verdict, rb.prefix,
+         rb.prefix IS NOT NULL AND starts_with(c.path, rb.prefix) AS hit
+  FROM canon c LEFT JOIN {rb} ON c.domain = rb.domain
+),
+best AS (
+  SELECT doc_id, canonical_url, domain,
+         MAX(CASE WHEN hit THEN
+               struct_pack(l := length(prefix), a := verdict = 'allow')
+             END) AS m
+  FROM matched GROUP BY doc_id, canonical_url, domain
+)
+SELECT doc_id, canonical_url, domain,
+       COALESCE((m).a, TRUE) AS allowed,
+       CAST(COALESCE((m).l, 0) AS INT) AS matched_len
+FROM best
+""").format(raw_url=_RAW_URL_SQL, domain=registrable_domain_sql("labs"),
+            rb=_robots_values_sql())
 
 
 # --- fixed-point domain PageRank (round 5) -----------------------------------------
@@ -566,5 +730,7 @@ QUERIES = {
     "html_outlinks": QuerySpec(html_outlinks, HTML_OUTLINKS_SQL),
     "outlink_frontier": QuerySpec(outlink_frontier, OUTLINK_FRONTIER_SQL),
     "domain_pagerank": QuerySpec(domain_pagerank, _pagerank_sql()),
+    "anchor_text_rollup": QuerySpec(anchor_text_rollup, ANCHOR_TEXT_SQL),
+    "robots_gate": QuerySpec(robots_gate, ROBOTS_GATE_SQL),
     "corpus_split": QuerySpec(corpus_split, CORPUS_SPLIT_SQL),
 }

@@ -753,3 +753,49 @@ def test_source_mixture_weights_normalize(spark, queries):
     for r in rows:
         assert abs(r["sampling_factor"]
                    - r["target_weight"] / r["token_share"]) < 1e-9
+
+
+def test_robots_gate_longest_match_semantics(spark, queries):
+    """RFC 9309 rules pinned: deny-all with a longer allow carve-out,
+    longer allow beats shorter deny, unmatched domains default allow."""
+    rows = {r["doc_id"]: r
+            for r in queries["robots_gate"].fn(spark, SF).collect()}
+    saw = {"carved": 0, "denied": 0, "shop_allowed": 0}
+    for doc_id, r in rows.items():
+        if r["domain"] == "mirror.net":
+            # deny '/' (len 1) vs allow '/Docs/1' (len 7): the longer
+            # allow wins exactly when the path starts with /Docs/1
+            carved = ("/Docs/%d" % doc_id).startswith("/Docs/1")
+            assert r["allowed"] == carved, doc_id
+            assert r["matched_len"] == (7 if carved else 1)
+            saw["carved" if carved else "denied"] += 1
+        elif r["domain"] == "shop.co.uk":
+            # allow '/Docs' (5) always beats deny '/' (1) here
+            assert r["allowed"] and r["matched_len"] == 5
+            saw["shop_allowed"] += 1
+        elif r["domain"] == "example.com":
+            assert r["allowed"] and r["matched_len"] == 0
+        elif r["domain"] == "crawl.dev":
+            denied = ("/Docs/%d" % doc_id).startswith("/Docs/2")
+            assert r["allowed"] == (not denied), doc_id
+            assert r["matched_len"] == (7 if denied else 0)
+        else:
+            assert r["allowed"]
+    assert all(saw.values()), saw
+
+
+def test_anchor_text_rollup_external_only(spark, queries):
+    """Anchor texts aggregate per external target domain; mailto and
+    relative anchors never appear; counts add up to the external link
+    volume."""
+    rows = queries["anchor_text_rollup"].fn(spark, SF).collect()
+    by_dom = {}
+    for r in rows:
+        by_dom.setdefault(r["target_domain"], []).append(r)
+        assert r["anchor_text"] in {
+            "partner site 0", "partner site 1", "partner site 2",
+            "partner site 3", "breaking news"}, r
+    n_docs = spark.read.parquet(SF + "/documents.parquet").count()
+    assert sum(r["n_links"] for r in by_dom["example.com"]) == n_docs
+    assert sum(r["n_links"] for r in by_dom["shop.co.uk"]) \
+        == (n_docs + 1) // 2
