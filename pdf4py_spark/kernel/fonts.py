@@ -577,6 +577,20 @@ def build_font_decoder(spec: dict):
             return "".join(out)
         return decode_cid
     if spec.get("encoding") is None and not spec.get("differences"):
+        if spec.get("cff"):
+            # bare-CFF (Type1C) built-in encoding: code -> gid -> SID
+            # -> glyph name -> AGL (kernel.cff); PDF 1.7 §9.6.6.2 says
+            # a Type1 font without /Encoding uses the font's own table
+            from .cff import CffError, code_to_unicode_type1c
+            try:
+                table = code_to_unicode_type1c(spec["cff"])
+
+                def decode_cff(data: bytes) -> str:
+                    return "".join(table.get(b, REPLACEMENT)
+                                   for b in data)
+                return decode_cff
+            except CffError:
+                pass  # CID-keyed / predefined-encoding / corrupt
         if spec.get("symbolic") and spec.get("fontfile"):
             table = _symbolic_table(spec.get("fontfile"))
 

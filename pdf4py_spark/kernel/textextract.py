@@ -233,26 +233,39 @@ def _composite_spec(doc: DocumentParser, font: dict, spec: dict) -> None:
 
 
 def _simple_spec(doc: DocumentParser, font: dict, spec: dict) -> None:
-    """Fill the SIMPLE-font spec fields the symbolic TrueType route
-    needs (fonts.build_font_decoder): the FontDescriptor's symbolic
-    flag (Flags bit 3, PDF 1.7 §9.8.2) and the FontFile2 program."""
-    if font.get("Subtype") != "TrueType":
+    """Fill the SIMPLE-font spec fields the font-program decode routes
+    need (fonts.build_font_decoder): the FontDescriptor's symbolic flag
+    (Flags bit 3, PDF 1.7 §9.8.2) + FontFile2 for the TrueType symbol
+    route (K54), and a /Type1C FontFile3 payload for the bare-CFF
+    built-in-encoding route (K57)."""
+    subtype = font.get("Subtype")
+    if subtype not in ("TrueType", "Type1", "MMType1"):
         return
     fd = font.get("FontDescriptor")
     if isinstance(fd, Ref):
         fd = doc.resolve(fd)
     if not isinstance(fd, dict):
         return
-    flags = fd.get("Flags")
-    spec["symbolic"] = bool(isinstance(flags, int) and flags & 4)
-    if not spec["symbolic"]:
+    if subtype == "TrueType":
+        flags = fd.get("Flags")
+        spec["symbolic"] = bool(isinstance(flags, int) and flags & 4)
+        if not spec["symbolic"]:
+            return
+        ff = fd.get("FontFile2")
+        if isinstance(ff, Ref):
+            ff = doc.resolve(ff)
+        if isinstance(ff, Stream):
+            try:
+                spec["fontfile"] = ff.payload()
+            except Exception:  # noqa: BLE001 - undecodable font stream
+                pass
         return
-    ff = fd.get("FontFile2")
+    ff = fd.get("FontFile3")
     if isinstance(ff, Ref):
         ff = doc.resolve(ff)
-    if isinstance(ff, Stream):
+    if isinstance(ff, Stream) and ff.meta.get("Subtype") == "Type1C":
         try:
-            spec["fontfile"] = ff.payload()
+            spec["cff"] = ff.payload()
         except Exception:  # noqa: BLE001 - undecodable font stream
             pass
 

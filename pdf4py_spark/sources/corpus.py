@@ -66,11 +66,14 @@ def corpus_rows():
             rows.append(("crawl://encrypted/" + name, fh.read()))
     rows.extend(_HTML_DOCS)
     # synthesized capability fixtures (deterministic, no external data)
-    from .synthpdf import identity_h_pdf, predefined_cmap_pdf, symbolic_tt_pdf
+    from .synthpdf import (
+        identity_h_pdf, predefined_cmap_pdf, symbolic_tt_pdf, type1c_pdf,
+    )
     rows.append(("crawl://synth/identity-h.pdf", identity_h_pdf()))
     rows.append(("crawl://synth/predefined-cmaps.pdf",
                  predefined_cmap_pdf()))
     rows.append(("crawl://synth/symbolic-tt.pdf", symbolic_tt_pdf()))
+    rows.append(("crawl://synth/type1c.pdf", type1c_pdf()))
     rows.extend(_ADVERSARIAL)
     with open(os.path.join(PDF_DIR, "0005.pdf"), "rb") as fh:
         rows.append(("crawl://adversarial/truncated.pdf", fh.read()[:1024]))

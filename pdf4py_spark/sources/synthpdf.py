@@ -318,6 +318,92 @@ def predefined_cmap_pdf() -> bytes:
     return _classic_pdf(objs)
 
 
+# --- bare-CFF (Type1C) fixture (K57, round 5) --------------------------------------
+#
+# A simple Type1 font whose ONLY decode route is the embedded CFF
+# program's built-in encoding: code -> gid (CFF Encoding fmt 0) -> SID
+# (charset fmt 0) -> custom glyph name (String INDEX, SIDs 391+) ->
+# AGL. One glyph name is deliberately unresolvable to pin the U+FFFD
+# fallback per unmapped code.
+
+#: code -> (glyph name, expected char); 0x44 pins the unknown-name path
+_CFF_GLYPHS = (
+    (0x41, "uni0394", "Δ"),      # GREEK CAPITAL DELTA
+    (0x42, "eacute", "é"),
+    (0x43, "a", "a"),
+    (0x44, "glyphZZZ", "�"),     # unresolvable name
+)
+EXPECTED_TYPE1C = "".join(c[2] for c in _CFF_GLYPHS)
+
+
+def _cff_index(items) -> bytes:
+    if not items:
+        return b"\x00\x00"
+    data = b"".join(items)
+    offs = [1]
+    for it in items:
+        offs.append(offs[-1] + len(it))
+    out = struct.pack(">HB", len(items), 2)
+    for o in offs:
+        out += struct.pack(">H", o)
+    return out + data
+
+
+def make_type1c() -> bytes:
+    """Minimal non-CID CFF program carrying _CFF_GLYPHS."""
+    n = len(_CFF_GLYPHS)
+    header = bytes([1, 0, 4, 4])
+    name_idx = _cff_index([b"SynthCFF"])
+
+    def top_dict(enc_off, charset_off, cs_off) -> bytes:
+        def op(val, opcode):
+            return b"\x1d" + struct.pack(">i", val) + bytes([opcode])
+        return op(charset_off, 15) + op(enc_off, 16) + op(cs_off, 17)
+
+    td_size = len(top_dict(0, 0, 0))
+    top_idx_size = 2 + 1 + 2 * 2 + td_size     # count,offSize,2 offs,data
+    string_idx = _cff_index([name.encode("latin-1")
+                             for _c, name, _x in _CFF_GLYPHS])
+    gsubr = b"\x00\x00"
+    enc = bytes([0, n]) + bytes(c for c, _n, _x in _CFF_GLYPHS)
+    charset = b"\x00" + b"".join(struct.pack(">H", 391 + i)
+                                 for i in range(n))
+    charstrings = _cff_index([b"\x0e"] * (n + 1))   # endchar each
+
+    enc_off = len(header) + len(name_idx) + top_idx_size \
+        + len(string_idx) + len(gsubr)
+    charset_off = enc_off + len(enc)
+    cs_off = charset_off + len(charset)
+    td = top_dict(enc_off, charset_off, cs_off)
+    top_idx = struct.pack(">HB", 1, 2) + struct.pack(">HH", 1, 1 + td_size) \
+        + td
+    assert len(top_idx) == top_idx_size
+    return header + name_idx + top_idx + string_idx + gsubr + enc \
+        + charset + charstrings
+
+
+def type1c_pdf() -> bytes:
+    font = make_type1c()
+    show = b"(" + bytes(c for c, _n, _x in _CFF_GLYPHS) + b") Tj"
+    content = b"BT /FC 12 Tf 72 720 Td " + show + b" ET"
+    return _classic_pdf([
+        b"<< /Type /Catalog /Pages 2 0 R >>",                      # 1
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",              # 2
+        (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+         b"/Contents 4 0 R /Resources << /Font "
+         b"<< /FC 5 0 R >> >> >>"),                                # 3
+        _stream_obj(content),                                      # 4
+        (b"<< /Type /Font /Subtype /Type1 /BaseFont /SynthCFF "
+         b"/FirstChar 65 /LastChar 68 /Widths [500 500 500 500] "
+         b"/FontDescriptor 6 0 R >>"),                             # 5
+        (b"<< /Type /FontDescriptor /FontName /SynthCFF /Flags 32 "
+         b"/ItalicAngle 0 /Ascent 800 /Descent -200 /CapHeight 700 "
+         b"/StemV 80 /FontBBox [0 -200 1000 800] "
+         b"/FontFile3 7 0 R >>"),                                  # 6
+        _stream_obj(font, "/Subtype /Type1C "),                    # 7
+    ])
+
+
 # --- symbolic simple-TrueType fixture (r4 verdict #5) ------------------------------
 #
 # /FS is a SYMBOLIC (Flags 4) simple TrueType font with no /Encoding: its

@@ -564,3 +564,55 @@ def test_new_decode_surfaces_total_on_garbage():
         assert isinstance(fields, list) and len(fields) <= 3 * 64
 
     check()
+
+
+def test_type1c_cff_builtin_encoding():
+    """K57: a simple Type1 font with ONLY a bare-CFF program decodes
+    through the CFF built-in encoding chain (code -> gid -> SID ->
+    name -> AGL); unknown glyph names stay U+FFFD; CID-keyed and
+    predefined-encoding programs raise the typed error."""
+    import pytest as _pytest
+
+    from pdf4py_spark.kernel.cff import (
+        CffError, code_to_unicode_type1c, parse_dict, parse_index,
+    )
+    from pdf4py_spark.kernel.parser import DocumentParser
+    from pdf4py_spark.kernel.textextract import extract_pdf_text_unicode
+    from pdf4py_spark.sources.synthpdf import (
+        EXPECTED_TYPE1C, make_type1c, type1c_pdf,
+    )
+
+    assert code_to_unicode_type1c(make_type1c()) == {
+        0x41: "Δ", 0x42: "é", 0x43: "a"}
+    doc = DocumentParser(type1c_pdf())
+    assert extract_pdf_text_unicode(doc).decode("utf-8") \
+        == EXPECTED_TYPE1C
+    # hostile/unsupported inputs raise typed errors, never crash
+    with _pytest.raises(CffError):
+        code_to_unicode_type1c(b"")
+    with _pytest.raises(CffError):
+        code_to_unicode_type1c(b"\x01\x00\x04\x04" + b"\x00" * 4)
+    # DICT parser golden: int encodings across all 5 forms
+    d = parse_dict(b"\x8b\x0f")                  # 139-139=0 -> op 15
+    assert d == {15: [0]}
+    d = parse_dict(b"\x1d\x00\x00\x30\x39\x11")  # int32 12345 -> op 17
+    assert d == {17: [12345]}
+    items, _ = parse_index(b"\x00\x00", 0)
+    assert items == []
+
+
+def test_cff_total_on_garbage():
+    from hypothesis import given, settings, strategies as st
+
+    from pdf4py_spark.kernel.cff import CffError, code_to_unicode_type1c
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=300))
+    def check(data):
+        try:
+            out = code_to_unicode_type1c(data)
+            assert isinstance(out, dict)
+        except CffError:
+            pass
+
+    check()

@@ -198,20 +198,31 @@ def _composite_spec_ref(parser, font, spec):
 
 def _simple_spec_ref(parser, font, spec):
     """Mirror of kernel.textextract._simple_spec over the reference
-    parser (symbolic flag + FontFile2 for simple TrueType fonts)."""
-    if font.get("Subtype") != "TrueType":
+    parser (symbolic flag + FontFile2 for simple TrueType fonts; bare-
+    CFF /Type1C FontFile3 for the K57 built-in-encoding route)."""
+    subtype = font.get("Subtype")
+    if subtype not in ("TrueType", "Type1", "MMType1"):
         return
     fd = _rr(parser, font.get("FontDescriptor"))
     if not isinstance(fd, dict):
         return
-    flags = fd.get("Flags")
-    spec["symbolic"] = bool(isinstance(flags, int) and flags & 4)
-    if not spec["symbolic"]:
+    if subtype == "TrueType":
+        flags = fd.get("Flags")
+        spec["symbolic"] = bool(isinstance(flags, int) and flags & 4)
+        if not spec["symbolic"]:
+            return
+        ff = _rr(parser, fd.get("FontFile2"))
+        if isinstance(ff, PDFStream):
+            try:
+                spec["fontfile"] = bytes(ff.stream())
+            except Exception:
+                pass
         return
-    ff = _rr(parser, fd.get("FontFile2"))
-    if isinstance(ff, PDFStream):
+    ff = _rr(parser, fd.get("FontFile3"))
+    if isinstance(ff, PDFStream) \
+            and ff.dictionary.get("Subtype") == "Type1C":
         try:
-            spec["fontfile"] = bytes(ff.stream())
+            spec["cff"] = bytes(ff.stream())
         except Exception:
             pass
 
