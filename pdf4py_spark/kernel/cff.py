@@ -34,20 +34,20 @@ class CffError(ValueError):
 
 
 def _u8(data, off):
-    if off >= len(data):
-        raise CffError("u8 past end at %d" % off)
+    if off < 0 or off >= len(data):
+        raise CffError("u8 out of bounds at %d" % off)
     return data[off]
 
 
 def _u16(data, off):
-    if off + 2 > len(data):
-        raise CffError("u16 past end at %d" % off)
+    if off < 0 or off + 2 > len(data):
+        raise CffError("u16 out of bounds at %d" % off)
     return struct.unpack_from(">H", data, off)[0]
 
 
 def _offset(data, off, sz):
-    if off + sz > len(data):
-        raise CffError("offset past end at %d" % off)
+    if off < 0 or off + sz > len(data):
+        raise CffError("offset out of bounds at %d" % off)
     return int.from_bytes(data[off:off + sz], "big")
 
 
@@ -91,6 +91,8 @@ def parse_dict(blob):
             out[op] = operands
             operands = []
         elif b0 == 28:
+            if i + 3 > n:
+                raise CffError("int16 past end")
             operands.append(struct.unpack_from(">h", blob, i + 1)[0])
             i += 3
         elif b0 == 29:
@@ -223,11 +225,34 @@ def _parse_encoding(data, off):
     return out
 
 
+def _op_int(top, key) -> int:
+    """First operand of DICT op ``key`` as int; CffError when the op is
+    absent-with-empty-operands or carries a non-numeric value."""
+    vals = top.get(key)
+    if not vals:
+        raise CffError("DICT op %d has no operand" % key)
+    try:
+        return int(vals[0])
+    except (TypeError, ValueError):
+        raise CffError("DICT op %d operand not an int" % key)
+
+
 def code_to_unicode_type1c(data: bytes) -> dict:
     """code -> unicode for a NON-CID bare-CFF program with an explicit
     Encoding table. Raises CffError for CID-keyed fonts (ROS present),
     the predefined-encoding case (offset 0/1 — needs the standard
-    encoding tables; caller falls back), or any structural violation."""
+    encoding tables; caller falls back), or ANY structural violation —
+    the typed error is the whole totality contract, so unexpected
+    exception types are converted, never propagated."""
+    try:
+        return _code_to_unicode(data)
+    except CffError:
+        raise
+    except Exception as exc:  # noqa: BLE001 - totality net
+        raise CffError("malformed CFF (%s)" % type(exc).__name__)
+
+
+def _code_to_unicode(data: bytes) -> dict:
     from .fonts import glyph_to_unicode
 
     if len(data) < 4:
@@ -245,22 +270,21 @@ def code_to_unicode_type1c(data: bytes) -> dict:
     strings, off = parse_index(data, off)
     if len(strings) > MAX_STRINGS:
         raise CffError("%d strings" % len(strings))
-    cs_off = top.get(17)
-    if not cs_off:
+    if 17 not in top:
         raise CffError("no CharStrings")
-    charstrings, _ = parse_index(data, int(cs_off[0]))
+    charstrings, _ = parse_index(data, _op_int(top, 17))
     n_glyphs = len(charstrings)
     if not 0 < n_glyphs <= MAX_GLYPHS:
         raise CffError("%d glyphs" % n_glyphs)
-    charset_off = top.get(15, [0])
-    enc_off = top.get(16, [0])
-    if int(enc_off[0]) in (0, 1):
+    charset_off = _op_int(top, 15) if 15 in top else 0
+    enc_off = _op_int(top, 16) if 16 in top else 0
+    if enc_off in (0, 1):
         # predefined Standard/Expert encodings: not carried here
         raise CffError("predefined CFF encoding")
-    if int(charset_off[0]) in (0, 1, 2):
+    if charset_off in (0, 1, 2):
         raise CffError("predefined charset")
-    sids = _parse_charset(data, int(charset_off[0]), n_glyphs)
-    enc = _parse_encoding(data, int(enc_off[0]))
+    sids = _parse_charset(data, charset_off, n_glyphs)
+    enc = _parse_encoding(data, enc_off)
     out = {}
     for code, gid in enc.items():
         if not 0 < gid < len(sids):

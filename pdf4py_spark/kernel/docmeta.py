@@ -115,7 +115,7 @@ def links_line(uris) -> str:
     return "\n".join(sorted({_esc(u) for u in uris}))
 
 
-# --- bounded XMP field extraction (K53) --------------------------------------------
+# --- bounded XMP field extraction (K55) --------------------------------------------
 #
 # Raw-bytes pinning (K51) stays the cross-stack gate; this layer answers
 # the crawl-pipeline question "what is the document's declared title /

@@ -288,9 +288,12 @@ def font_decoders(doc: DocumentParser, resources) -> dict:
         font = doc.resolve(fref) if isinstance(fref, Ref) else fref
         if not isinstance(font, dict):
             continue
+        bf = font.get("BaseFont")
+        if isinstance(bf, Ref):  # indirect names are legal (review r5)
+            bf = doc.resolve(bf)
         spec = {"type0": font.get("Subtype") == "Type0",
                 "encoding": None, "differences": None, "tounicode": None,
-                "basefont": font.get("BaseFont")}
+                "basefont": bf}
         tu = font.get("ToUnicode")
         if isinstance(tu, Ref):
             tu = doc.resolve(tu)
@@ -540,7 +543,7 @@ def doc_xmp(doc: DocumentParser):
 
 
 def doc_xmp_fields(doc: DocumentParser):
-    """Dublin Core field census (K53): (count, canonical lines) of the
+    """Dublin Core field census (K55): (count, canonical lines) of the
     dc:title/dc:creator/dc:description values scanned — regex-level,
     never an XML parser (see kernel.docmeta.xmp_fields for the bounded
     scan rationale) — from the K51 packet. Shared formatter across both

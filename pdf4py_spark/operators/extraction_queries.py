@@ -357,7 +357,7 @@ WHERE parse_ok
 
 
 def extract_pdf_xmp_fields(spark, sf_dir):
-    """Dublin Core field gate (K53): dc:title/dc:creator/dc:description
+    """Dublin Core field gate (K55): dc:title/dc:creator/dc:description
     values scanned from the K51 packet — regex-level and bounded, never
     an XML parser (entity decode is arithmetic with a cap) — through
     OUR parser must match the REFERENCE parser's packet, both

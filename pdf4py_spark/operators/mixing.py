@@ -89,9 +89,14 @@ def source_mixture(spark, sf_dir):
     agg = (docs.groupBy("source")
            .agg(F.count("*").alias("n_docs"),
                 F.sum("n_tokens").alias("n_tokens")))
+    # total over ANY source naming: no trailing digits -> index 0
+    # (Spark casts '' to NULL, DuckDB CAST('') throws — NULLIF+COALESCE
+    # makes both engines agree; review round 5)
     agg = agg.withColumn(
         "target_raw",
-        (F.regexp_extract("source", r"(\d+)$", 1).cast("bigint") + 1))
+        F.coalesce(F.nullif(F.regexp_extract("source", r"(\d+)$", 1),
+                            F.lit("")).cast("bigint"),
+                   F.lit(0)) + 1)
     w = Window.partitionBy()
     return (agg
             .withColumn("total_tokens", F.sum("n_tokens").over(w))
@@ -111,7 +116,8 @@ SOURCE_MIXTURE_SQL = """
 WITH agg AS (
   SELECT source, COUNT(*) AS n_docs,
          CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
-         CAST(regexp_extract(source, '(\\d+)$', 1) AS BIGINT) + 1
+         CAST(COALESCE(NULLIF(regexp_extract(source, '(\\d+)$', 1), ''),
+                       '0') AS BIGINT) + 1
            AS target_raw
   FROM documents GROUP BY source
 ),

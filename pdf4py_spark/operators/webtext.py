@@ -307,9 +307,13 @@ def outlinks_from(docs, extra_cols=()):
     is_rel = F.col("raw_link").startswith("/")
     lhost = F.lower(F.regexp_extract(
         "raw_link", r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    # port stripped SYMMETRICALLY with phost (review round 5: a ported
+    # self-link must compare internal, and ':8080' must never reach the
+    # PSL label split); resolved_url keeps the authority verbatim
+    lhost_np = F.regexp_replace(lhost, r":[0-9]+$", "")
     rest = F.regexp_extract(
         "raw_link", r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$", 1)
-    target_host = F.when(is_abs, lhost).when(is_rel, F.col("phost"))
+    target_host = F.when(is_abs, lhost_np).when(is_rel, F.col("phost"))
     resolved = (F.when(is_abs, F.concat(lscheme, F.lit("://"),
                                         lhost, rest))
                 .when(is_rel, F.concat(F.col("pscheme"), F.lit("://"),
@@ -403,7 +407,9 @@ resolved AS (
               WHEN starts_with(raw_link, '/')
               THEN pscheme || '://' || phost || raw_link END
            AS resolved_url,
-         CASE WHEN lscheme IN ('http', 'https') THEN lhost
+         -- port stripped symmetrically with phost (see the Spark twin)
+         CASE WHEN lscheme IN ('http', 'https')
+              THEN regexp_replace(lhost, ':[0-9]+$', '')
               WHEN starts_with(raw_link, '/') THEN phost END
            AS target_host,
          phost
@@ -468,8 +474,10 @@ def anchor_text_rollup(spark, sf_dir):
     atext = F.regexp_extract("tag", _ATAG_TEXT, 1)
     lscheme = F.lower(F.regexp_extract(
         href, r"^([A-Za-z][A-Za-z0-9+.-]*):", 1))
-    lhost = F.lower(F.regexp_extract(
-        href, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    lhost = F.regexp_replace(          # port stripped like phost
+        F.lower(F.regexp_extract(
+            href, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)),
+        r":[0-9]+$", "")
     rows = (tags.select(
         "doc_id", atext.alias("anchor_text"),
         F.when(lscheme.isin("http", "https"), lhost).alias("thost"),
@@ -509,13 +517,15 @@ pairs AS (
 ),
 ext AS (
   SELECT anchor_text,
-         lower(regexp_extract(href,
-             '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS thost
+         regexp_replace(lower(regexp_extract(href,
+             '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+             ':[0-9]+$', '') AS thost
   FROM pairs
   WHERE lower(regexp_extract(href,
             '^([A-Za-z][A-Za-z0-9+.-]*):', 1)) IN ('http', 'https')
-    AND lower(regexp_extract(href,
-            '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) <> phost
+    AND regexp_replace(lower(regexp_extract(href,
+            '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+            ':[0-9]+$', '') <> phost
 )
 SELECT {domain} AS target_domain, anchor_text, COUNT(*) AS n_links
 FROM (SELECT *, string_split(thost, '.') AS labs FROM ext)

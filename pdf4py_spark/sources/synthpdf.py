@@ -168,10 +168,6 @@ def identity_h_pdf() -> bytes:
                 "/StemV 80 /FontBBox [0 -200 1000 800] "
                 "/%s %d 0 R >>" % (key, ff_ref)).encode()
 
-    def stream_obj(data: bytes, extra: str = "") -> bytes:
-        return ("<< /Length %d %s>>" % (len(data), extra)).encode() + \
-            b"\nstream\n" + data + b"\nendstream"
-
     return _classic_pdf([
         b"<< /Type /Catalog /Pages 2 0 R >>",                      # 1
         b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",              # 2
@@ -183,7 +179,7 @@ def identity_h_pdf() -> bytes:
          b"/A << /S /URI /URI (https://example.org/b) >> >>] "
          b"/Resources << /Font << /F1 5 0 R "
          b"/F2 8 0 R /F3 11 0 R /F4 18 0 R >> >> >>"),             # 3
-        stream_obj(content),                                       # 4
+        _stream_obj(content),                                      # 4
         type0(6),                                                  # 5  F1
         cidfont(7),                                                # 6
         fontdesc(14),                                              # 7
@@ -193,14 +189,14 @@ def identity_h_pdf() -> bytes:
         type0(12),                                                 # 11 F3
         cidfont(13, c2g_ref=17),                                   # 12
         fontdesc(16),                                              # 13
-        stream_obj(font_a, "/Length1 %d " % len(font_a)),          # 14
-        stream_obj(font_b, "/Length1 %d " % len(font_b)),          # 15
-        stream_obj(font_c, "/Length1 %d " % len(font_c)),          # 16
-        stream_obj(bytes(c2g)),                                    # 17
+        _stream_obj(font_a, "/Length1 %d " % len(font_a)),          # 14
+        _stream_obj(font_b, "/Length1 %d " % len(font_b)),          # 15
+        _stream_obj(font_c, "/Length1 %d " % len(font_c)),          # 16
+        _stream_obj(bytes(c2g)),                                    # 17
         type0(19),                                                 # 18 F4
         cidfont(20),                                               # 19
         fontdesc(21, key="FontFile3"),                             # 20
-        stream_obj(font_d, "/Subtype /OpenType "),                 # 21
+        _stream_obj(font_d, "/Subtype /OpenType "),                 # 21
     ])
 
 

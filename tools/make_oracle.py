@@ -241,7 +241,7 @@ def _font_decoders_ref(parser, resources):
             continue
         spec = {"type0": font.get("Subtype") == "Type0",
                 "encoding": None, "differences": None, "tounicode": None,
-                "basefont": font.get("BaseFont")}
+                "basefont": _rr(parser, font.get("BaseFont"))}
         tu = _rr(parser, font.get("ToUnicode"))
         if isinstance(tu, PDFStream):
             try:
