@@ -39,7 +39,10 @@ def quality_repetition(spark, sf_dir):
     map-side combinable, the scalable shape for mode-of-many. Ratios
     divide small ints by doc length: single IEEE divisions of exact
     operands, identical in both engines."""
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    from . import widen_narrow_scan
+
+    docs = widen_narrow_scan(
+        table(spark, sf_dir, "documents").select("doc_id", "text"))
     toks = docs.withColumn("toks", F.split("text", " "))
 
     base = toks.select(
@@ -131,9 +134,10 @@ def dedup_paragraph(spark, sf_dir):
     hash -> per-doc rollup: every shuffle key is 8 bytes, and the unit
     relation is persisted because it feeds both the corpus-wide count
     and the per-doc join."""
-    from . import persist_tracked
+    from . import persist_tracked, widen_narrow_scan
 
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = widen_narrow_scan(
+        table(spark, sf_dir, "documents").select("doc_id", "text"))
     units = (docs
              .select("doc_id", F.posexplode(
                  F.split("text", r"\. ")).alias("pos", "u"))
@@ -189,9 +193,10 @@ def bigram_pmi(spark, sf_dir):
     the bigram relation against the unigram counts; top-K via ONE
     window over the score-ordered bigram relation (rank ties broken by
     the bigram text, so the emitted set is deterministic)."""
-    from . import persist_tracked
+    from . import persist_tracked, widen_narrow_scan
 
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = widen_narrow_scan(
+        table(spark, sf_dir, "documents").select("doc_id", "text"))
     # persist the LINEAR per-doc token array once (one row per doc);
     # the unigram explode and the per-row bigram-pair construction both
     # derive from it. Exploded rows never carry the whole array — a

@@ -113,7 +113,12 @@ def _minhash_sig(docs):
     """One row per doc with mh0..mh{N_PERMS-1}: base hash = the first
     15 hex digits of md5(token) (60 bits, portable: Spark conv() ==
     DuckDB CAST('0x...')), reduced mod P, then N_PERMS affine mins
-    computed in ONE aggregate pass."""
+    computed in ONE aggregate pass. The doc scan is widened first (r6):
+    the tokenize/explode/md5 pass otherwise runs at the 1-2-split
+    parallelism of a single small parquet file."""
+    from . import widen_narrow_scan
+
+    docs = widen_narrow_scan(docs)
     toks = docs.select(
         "doc_id",
         F.explode(F.array_distinct(F.split("text", " "))).alias("w"))
@@ -401,7 +406,9 @@ FROM clusters
 def dedup_simhash(spark, sf_dir):
     """16-bit SimHash from the first 4 hex digits of each distinct token's
     md5: per bit, majority vote of +-1 contributions."""
-    docs = _docs(spark, sf_dir)
+    from . import widen_narrow_scan
+
+    docs = widen_narrow_scan(_docs(spark, sf_dir).select("doc_id", "text"))
     toks = docs.select(
         "doc_id",
         F.explode(F.array_distinct(F.split("text", " "))).alias("w"))
@@ -482,9 +489,10 @@ def dedup_ngram_jaccard(spark, sf_dir):
     split/exploded/hashed exactly once instead of once per consumer, and
     every downstream shuffle carries an 8-byte key instead of the
     trigram string."""
-    from . import persist_tracked
+    from . import persist_tracked, widen_narrow_scan
 
-    docs = _docs(spark, sf_dir).where("size(split(text, ' ')) >= 3")
+    docs = widen_narrow_scan(
+        _docs(spark, sf_dir).where("size(split(text, ' ')) >= 3"))
     tri = (docs.withColumn("toks", F.split("text", " "))
            .select(
                "doc_id", "source",
@@ -498,7 +506,6 @@ def dedup_ngram_jaccard(spark, sf_dir):
                F.expr("cast(conv(substring(md5(g), 1, 15), 16, 10)"
                       " as bigint)").alias("gh")))
     tri = persist_tracked(tri)
-    sizes = tri.groupBy("doc_id").agg(F.count("*").alias("n"))
     rare = (tri.groupBy("source", "gh")
             .agg(F.count("*").alias("df"))
             .where(F.col("df") <= MAX_TRIGRAM_DF)
@@ -512,18 +519,35 @@ def dedup_ngram_jaccard(spark, sf_dir):
         .select(F.col("a.doc_id").alias("id_a"),
                 F.col("b.doc_id").alias("id_b"))
         .distinct())
-    inter = (cand
-             .join(tri.alias("ta"), F.col("ta.doc_id") == F.col("id_a"))
-             .join(tri.alias("tb"),
-                   (F.col("tb.doc_id") == F.col("id_b"))
-                   & (F.col("ta.gh") == F.col("tb.gh")))
-             .groupBy("id_a", "id_b").agg(F.count("*").alias("n_common")))
-    return (inter
-            .join(sizes.alias("sa"), F.col("sa.doc_id") == F.col("id_a"))
-            .join(sizes.alias("sb"), F.col("sb.doc_id") == F.col("id_b"))
+    # r6 restructure (guide §3.3 "explode before a join multiplies the
+    # shuffle"): the old verification joined cand -> ta (every trigram of
+    # id_a per pair) -> tb, a |cand| x trigrams/doc row blowup (~300M
+    # intermediate rows at sf1.0, ~2/3 of the query's 61 s). Instead the
+    # per-doc gh set is aggregated ONCE into a sorted array (~52 bigints
+    # at bench corpus shape) and each candidate pair intersects two
+    # arrays: per-pair cost O(|A|+|B|) hashed, no row explosion.
+    # n_common = size(array_intersect) == the old per-gh join count
+    # because per-doc gh values are distinct (trigram strings are
+    # array_distinct'ed before hashing; two distinct trigrams of one doc
+    # colliding in the 60-bit gh — probability ~2^-61 per doc-pair of
+    # trigrams — would make BOTH engines' join-count semantics diverge
+    # from set semantics identically, as the oracle is unchanged and was
+    # verified row-identical against this form at sf0.01/0.1/1.0).
+    sets = persist_tracked(
+        tri.groupBy("doc_id").agg(
+            F.sort_array(F.collect_list("gh")).alias("ghs"),
+            F.count("*").alias("n")))
+    return (cand
+            .join(sets.selectExpr("doc_id AS id_a", "ghs AS ga",
+                                  "n AS na"), "id_a")
+            .join(sets.selectExpr("doc_id AS id_b", "ghs AS gb",
+                                  "n AS nb"), "id_b")
+            .withColumn("n_common",
+                        F.size(F.array_intersect("ga", "gb"))
+                        .cast("bigint"))
             .select("id_a", "id_b", "n_common",
                     F.round(F.col("n_common") /
-                            (F.col("sa.n") + F.col("sb.n")
+                            (F.col("na") + F.col("nb")
                              - F.col("n_common")), 4).alias("jaccard")))
 
 
@@ -591,9 +615,10 @@ def decontaminate(spark, sf_dir):
 
 
 def _contamination(docs):
-    from . import persist_tracked
+    from . import persist_tracked, widen_narrow_scan
 
-    docs = docs.where("size(split(text, ' ')) >= %d" % CONTAM_NGRAM)
+    docs = widen_narrow_scan(
+        docs.where("size(split(text, ' ')) >= %d" % CONTAM_NGRAM))
     # ONE persisted shingle relation shared by the benchmark-distinct,
     # the candidate sizes, and the hit join (the same discipline as
     # dedup_ngram_jaccard's trigram relation — without it the tokenize/

@@ -29,6 +29,45 @@ _COS = (
     ", 4)"
 )
 
+EMB_DIM = 64
+
+
+def _dot_unrolled(a: str, b: str, dim: int = EMB_DIM) -> str:
+    """Unrolled left-associated elementwise product sum over two pre-cast
+    array<double> columns: ``a[0]*b[0] + a[1]*b[1] + ...``.
+
+    Bit-identical to the ``aggregate(zip_with(...), 0D, +)`` fold it
+    replaces — same multiply order, same left-to-right add order, and the
+    fold's leading ``0D + x0`` is an exact identity for every double —
+    but whole-stage-codegen instead of interpreted: Spark's higher-order
+    functions are CodegenFallback, so the fold paid an interpreted-eval
+    closure per element per PAIR (r6 measurement: the brute-force query
+    spent ~95% of its time there). Verified value-identical over the full
+    sf1.0 pair set (8M pairs, 0 diffs) and oracle-green at the gate SFs."""
+    return " + ".join("%s[%d] * %s[%d]" % (a, i, b, i) for i in range(dim))
+
+
+def _dot_cast(a: str, b: str, dim: int = EMB_DIM) -> str:
+    """Unrolled dot product over two float-array columns with per-element
+    casts (``cast(a)[i]`` == ``cast(a[i])`` for float->double, which is
+    exact); same fold-equivalence argument as _dot_unrolled.
+
+    Method-size budget (JVM 64 KB generated-method limit): ONE 64-term
+    unrolled dot per codegen method compiles; three (dot + both norms =
+    192 terms) in one Project does not when a pushed filter duplicates
+    the expression — which is why every call site factors the norms onto
+    the join sides and the pair stage computes only the dot."""
+    return " + ".join(
+        "cast(%s[%d] as double) * cast(%s[%d] as double)" % (a, i, b, i)
+        for i in range(dim))
+
+
+def _norm_cast(a: str, dim: int = EMB_DIM) -> str:
+    """sqrt of the unrolled self-dot of a float-array column — the
+    factored per-vector norm (value-identical to _COS's inline
+    ``sqrt(aggregate(...))``)."""
+    return "sqrt(%s)" % _dot_cast(a, a, dim)
+
 
 def _ranked(pairs):
     w = Window.partitionBy("query_id").orderBy(
@@ -39,13 +78,36 @@ def _ranked(pairs):
 
 
 def ann_cosine_topk(spark, sf_dir):
+    # r6: norms factored out of the per-pair expression (computed once per
+    # VECTOR, not once per pair — sqrt(agg(qe)) / sqrt(agg(ne)) are
+    # pair-invariant subexpressions the optimizer does not hoist through
+    # a join) and the remaining per-pair dot product unrolled into
+    # codegen (see _dot_unrolled). The emitted expression tree per pair —
+    # round(dot / (qn * nn), 4) — is value-identical to _COS.
     emb = table(spark, sf_dir, "embeddings")
-    queries = emb.where("vec_id % 50 = 0").selectExpr(
-        "vec_id AS query_id", "embedding AS qe")
-    corpus = emb.selectExpr("vec_id AS neighbor_id", "embedding AS ne")
-    pairs = (queries.crossJoin(corpus)
+    queries = (emb.where("vec_id % 50 = 0")
+               .selectExpr("vec_id AS query_id",
+                           "cast(embedding as array<double>) AS qd")
+               .selectExpr("query_id", "qd",
+                           "sqrt(%s) AS qn" % _dot_unrolled("qd", "qd")))
+    # broadcast the QUERY side and stream the corpus (the r5 plan
+    # broadcast the corpus and streamed the 1/50 query slice, leaving the
+    # O(n*m) pair stage at the query scan's parallelism: 2 tasks on 32
+    # cores at sf1.0); the corpus side is round-robin-spread first because
+    # the embeddings table is a single small parquet file = 1-2 scan
+    # splits, and the pair stage's cost is per-PAIR, not per-byte
+    # (scale-adaptive width: 2x defaultParallelism, never hard-coded)
+    n_parts = spark.sparkContext.defaultParallelism * 2
+    corpus = (emb.repartition(n_parts)
+              .selectExpr("vec_id AS neighbor_id",
+                          "cast(embedding as array<double>) AS nd")
+              .selectExpr("neighbor_id", "nd",
+                          "sqrt(%s) AS nn" % _dot_unrolled("nd", "nd")))
+    pairs = (F.broadcast(queries).crossJoin(corpus)
              .where("query_id <> neighbor_id")
-             .selectExpr("query_id", "neighbor_id", _COS + " AS cosine"))
+             .selectExpr("query_id", "neighbor_id",
+                         "round((%s) / (qn * nn), 4) AS cosine"
+                         % _dot_unrolled("qd", "nd")))
     return _ranked(pairs)
 
 
@@ -84,11 +146,21 @@ def _ivf_assign(emb, centroids, n_probe: int):
     """(vec_id, cid) for each vector's n_probe nearest centroids — a
     COMPUTED quantizer assignment (r2 verdict: the stored label column
     was a stand-in). K is tiny, so the n x K scoring join is broadcast;
-    the rounded cosine + cid tie-break keeps both engines bit-aligned."""
-    scored = (emb.selectExpr("vec_id", "embedding AS qe")
-              .join(F.broadcast(centroids), F.lit(True))
-              .selectExpr("vec_id", "cid", _COS.replace("ne", "ce")
-                          + " AS ccos"))
+    the rounded cosine + cid tie-break keeps both engines bit-aligned.
+    r6: scoring unrolled into codegen with per-side factored norms
+    (value-identical to the _COS fold it replaces, see _dot_unrolled)."""
+    cent = (centroids
+            .selectExpr("cid", "cast(ce as array<double>) AS cd")
+            .selectExpr("cid", "cd",
+                        "sqrt(%s) AS cn" % _dot_unrolled("cd", "cd")))
+    scored = (emb.selectExpr("vec_id",
+                             "cast(embedding as array<double>) AS qd")
+              .selectExpr("vec_id", "qd",
+                          "sqrt(%s) AS qn" % _dot_unrolled("qd", "qd"))
+              .join(F.broadcast(cent), F.lit(True))
+              .selectExpr("vec_id", "cid",
+                          "round((%s) / (qn * cn), 4) AS ccos"
+                          % _dot_unrolled("qd", "cd")))
     w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cid"))
     return (scored.withColumn("crank", F.row_number().over(w))
             .where(F.col("crank") <= n_probe)
@@ -109,14 +181,18 @@ def ann_bucketed_topk(spark, sf_dir):
     query_cells = (_ivf_assign(emb.where("vec_id % 50 = 0"),
                                centroids, NPROBE)
                    .withColumnRenamed("vec_id", "query_id"))
-    qv = emb.selectExpr("vec_id AS query_id", "embedding AS qe")
-    nv = emb.selectExpr("vec_id AS neighbor_id", "embedding AS ne")
+    qv = emb.selectExpr("vec_id AS query_id", "embedding AS qe",
+                        _norm_cast("embedding") + " AS qn")
+    nv = emb.selectExpr("vec_id AS neighbor_id", "embedding AS ne",
+                        _norm_cast("embedding") + " AS nn")
     cand = (query_cells.join(corpus_cells, "cid")
             .select("query_id", F.col("vec_id").alias("neighbor_id"))
             .where("query_id <> neighbor_id")
             .distinct())
     pairs = (cand.join(qv, "query_id").join(nv, "neighbor_id")
-             .selectExpr("query_id", "neighbor_id", _COS + " AS cosine"))
+             .selectExpr("query_id", "neighbor_id",
+                         "round((%s) / (qn * nn), 4) AS cosine"
+                         % _dot_cast("qe", "ne")))
     return _ranked(pairs)
 
 
@@ -176,7 +252,6 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 3
 #: (OR-construction for recall), each bucketing on N_PLANES sign bits
 N_PLANES = 6
 N_BANDS_LSH = 3
-EMB_DIM = 64
 
 
 def _plane(t: int, p: int) -> list[float]:
@@ -191,7 +266,14 @@ def _plane(t: int, p: int) -> list[float]:
 
 def _bucket_expr_spark(t: int, n_planes: int = N_PLANES) -> str:
     """bigint bucket id for band t: sign bits of n_planes literal-plane
-    dot products, each computed by a codegen'd zip_with/aggregate fold."""
+    dot products, each computed by a zip_with/aggregate fold.
+
+    Deliberately NOT unrolled (r6): all bands' buckets evaluate inside
+    one Generate/Project method, and 18 unrolled 64-term dots blew the
+    JVM 64 KB method limit — whole-stage codegen then falls back to
+    interpreted for the WHOLE operator, a strict loss. The fold is
+    row-bound (n rows, not n^2 pairs), so its interpreted cost is
+    negligible; only the pair-bound cosines are unrolled."""
     bits = []
     for p in range(n_planes):
         lit = "array(%s)" % ", ".join(
@@ -261,6 +343,12 @@ def _neardup_pairs(emb):
                    & (F.col("id_a") < F.col("id_b")))
             .select("id_a", "id_b", "qe", "ne")
             .dropDuplicates(["id_a", "id_b"]))
+    # stays on the interpreted _COS fold (r6): the threshold filter on the
+    # computed cosine is substituted into the pushed-down predicate, so an
+    # unrolled expression appears TWICE in one codegen method and blows
+    # the 64 KB limit (whole-operator interpreted fallback — worse than
+    # the fold). Candidates here are block-bounded and tiny; per-pair cost
+    # is not this query's shape.
     return (cand.selectExpr("id_a", "id_b", _COS + " AS cosine")
             .where("cosine >= 0.8"))
 
@@ -316,22 +404,32 @@ def ann_lsh_topk(spark, sf_dir):
     rows out, no explode/shuffle); candidate generation is a hash join on
     (band, bucket) with population ~ n/2^N_PLANES per bucket per band."""
     emb = table(spark, sf_dir, "embeddings")
-    keyed = emb.select(
-        "vec_id", "embedding",
+    # r6: the per-vector norm is factored out BEFORE the band explode
+    # (computed once per vector, carried through the candidate join), so
+    # the pair stage codegen computes only the 64-term dot — see
+    # _dot_cast's method-size note
+    keyed = emb.selectExpr(
+        "vec_id", "embedding", _norm_cast("embedding") + " AS nrm"
+    ).select(
+        "vec_id", "embedding", "nrm",
         F.explode(F.array(*[
             F.struct(F.lit(t).alias("band"),
                      F.expr(_bucket_expr_spark(t)).alias("bucket"))
             for t in range(N_BANDS_LSH)])).alias("bb")
-    ).select("vec_id", "embedding", "bb.band", "bb.bucket")
+    ).select("vec_id", "embedding", "nrm", "bb.band", "bb.bucket")
     queries = keyed.where("vec_id % 50 = 0").selectExpr(
-        "vec_id AS query_id", "embedding AS qe", "band", "bucket")
+        "vec_id AS query_id", "embedding AS qe", "nrm AS qn",
+        "band", "bucket")
     corpus = keyed.selectExpr(
-        "vec_id AS neighbor_id", "embedding AS ne", "band", "bucket")
+        "vec_id AS neighbor_id", "embedding AS ne", "nrm AS nn",
+        "band", "bucket")
     cand = (queries.join(corpus, ["band", "bucket"])
             .where("query_id <> neighbor_id")
-            .select("query_id", "neighbor_id", "qe", "ne")
+            .select("query_id", "neighbor_id", "qe", "ne", "qn", "nn")
             .dropDuplicates(["query_id", "neighbor_id"]))
-    pairs = cand.selectExpr("query_id", "neighbor_id", _COS + " AS cosine")
+    pairs = cand.selectExpr("query_id", "neighbor_id",
+                            "round((%s) / (qn * nn), 4) AS cosine"
+                            % _dot_cast("qe", "ne"))
     return _ranked(pairs)
 
 

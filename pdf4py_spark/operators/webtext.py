@@ -214,9 +214,12 @@ def url_filter_blocklist(spark, sf_dir):
     domain, then a starts_with prefix test — no shuffle of the corpus
     side beyond the scan, works unchanged at 10^12 rows because the
     policy table stays broadcastable."""
+    from . import widen_narrow_scan
+
     docs = table(spark, sf_dir, "documents")
     urls = _with_canonical(
-        docs.select("doc_id", F.expr(_RAW_URL).alias("url")))
+        widen_narrow_scan(docs.select("doc_id"))
+        .select("doc_id", F.expr(_RAW_URL).alias("url")))
     rules = spark.createDataFrame(
         list(BLOCKLIST), "domain string, path_prefix string")
     hits = (urls
@@ -332,7 +335,9 @@ def outlinks_from(docs, extra_cols=()):
 
 
 def _outlink_rows(spark, sf_dir):
-    return outlinks_from(table(spark, sf_dir, "documents"))
+    from . import widen_narrow_scan
+    return outlinks_from(widen_narrow_scan(
+        table(spark, sf_dir, "documents").select("doc_id", "text")))
 
 
 def html_outlinks(spark, sf_dir):
@@ -459,7 +464,10 @@ def anchor_text_rollup(spark, sf_dir):
     links: tag explode -> per-tag href/text extracts -> resolution via
     the same scheme rules as the outlink stage -> one hash aggregate.
     Codegen + one explode + one shuffle at domain x phrase cardinality."""
-    docs = table(spark, sf_dir, "documents")
+    from . import widen_narrow_scan
+
+    docs = widen_narrow_scan(
+        table(spark, sf_dir, "documents").select("doc_id", "text"))
     raw = docs.select("doc_id", "text", F.expr(_RAW_URL).alias("url"))
     phost = F.regexp_replace(
         F.lower(F.regexp_extract(
