@@ -22,6 +22,8 @@ file-pointer path). Behavioral parity with the reference tokenizer
 
 from __future__ import annotations
 
+import re
+
 from .model import (
     DictMark, HexString, Keyword, KernelError, LiteralString, Operator,
     Singleton, StreamMark, TokenError,
@@ -43,6 +45,30 @@ _STRUCT_KEYWORDS = (b"endobj", b"obj", b"trailer", b"xref", b"startxref",
 
 _HEXDIGITS = frozenset(b"0123456789abcdefABCDEF")
 _DIGITS = frozenset(b"0123456789")
+
+# -- C-speed scanning tables (r6) ------------------------------------------------
+#
+# The per-byte Python loops in the four scanners dominated the extraction
+# kernel's profile (lexer tottime ~55% of a corpus pass; ~2.4M
+# _is_regular calls). Each scanner now finds its token extent with ONE
+# compiled-regex/translate call (C loop) and keeps the byte-level slow
+# path only for the rare cases (name '#' escapes, string escapes); the
+# produced tokens, positions, and error/StopIteration behaviors are
+# byte-identical — pinned by the fuzz-vs-reference suite and a full-corpus
+# old-vs-new extraction byte-compare (OPTIMIZATION_r06.md).
+
+#: one-or-more REGULAR bytes (0x21-0x7E minus delimiters)
+_NAME_RE = re.compile(rb"[^\x00-\x20\x7f-\xff()<>\[\]{}/%]+")
+#: sign? digits* ('.' digits*)? — exactly the hand-rolled number scan
+_NUM_RE = re.compile(rb"[+-]?[0-9]*(\.[0-9]*)?")
+#: hex-string body: hex digits and whitespace, up to the terminator
+_HEX_RE = re.compile(rb"[0-9a-fA-F\x00\x09\x0a\x0c\x0d\x20]*")
+#: literal-string structure bytes: nesting parens and backslash
+_STR_SPECIAL_RE = re.compile(rb"[()\\]")
+#: whitespace run (the token-filler fast path)
+_WS_RUN_RE = re.compile(rb"[\x00\x09\x0a\x0c\x0d\x20]+")
+#: translate() deletion table argument for stripping whitespace
+_WS_BYTES = bytes(sorted(WHITESPACE))
 
 #: first-byte dispatch for _scan_word: most word tokens in content
 #: streams are operators (Tj, TD, rg, ...) that match NO literal, so
@@ -144,12 +170,14 @@ class Tokenizer:
             return self.cur
 
         # _skip_filler inlined (hot: once per token); semantics identical
+        # — whitespace runs consumed by one C regex match instead of a
+        # per-byte loop
         buf, n = self.buf, self.n
         i = self.pos
         while i < n:
             c = buf[i]
             if c in WHITESPACE:
-                i += 1
+                i = _WS_RUN_RE.match(buf, i).end()
             elif c == 0x25:  # '%' comment runs to the next LINE FEED only
                 j = buf.find(b"\n", i)
                 if j < 0:
@@ -164,16 +192,19 @@ class Tokenizer:
         c = buf[i]
 
         try:
-            if c == 0x28:  # (
+            # digits probed first (the most frequent content-stream token)
+            # with range compares instead of frozenset lookups — dispatch
+            # order is free because the first-byte classes are disjoint
+            if 0x30 <= c <= 0x39:  # 0-9
+                tok = self._scan_number(leading_digit=True)
+            elif c == 0x28:  # (
                 tok = self._scan_literal_string()
             elif c == 0x3C and not buf.startswith(b"<<", i):  # < but not <<
                 tok = self._scan_hex_string()
             elif c == 0x2F:  # /
                 self.pos = i + 1
                 tok = self._scan_name()
-            elif c in _DIGITS:
-                tok = self._scan_number(leading_digit=True)
-            elif c in (0x2B, 0x2D, 0x2E):  # + - .
+            elif c == 0x2B or c == 0x2D or c == 0x2E:  # + - .
                 tok = self._scan_number(leading_digit=False)
             else:
                 tok = self._scan_word(c)
@@ -204,31 +235,41 @@ class Tokenizer:
         if c in SINGLE_CHAR_TOKENS:
             self.pos = i + 1
             return Singleton(c)
-        if _is_regular(c):
+        if 0x21 <= c <= 0x7E and c not in DELIMITERS:  # _is_regular inline
             return Operator(self._scan_name())
         raise TokenError(
             "unrecognized byte 0x%02x at offset %d" % (c, i))
 
     def _scan_literal_string(self):
+        # chunked: copy whole runs of ordinary bytes between the three
+        # structural bytes ( ) \ (located by a C regex search); escape
+        # decoding and paren nesting are unchanged byte-for-byte
         buf, n = self.buf, self.n
         i = self.pos + 1
         depth = 1
         out = bytearray()
         while True:
-            if i >= n:
+            m = _STR_SPECIAL_RE.search(buf, i)
+            if m is None:
                 # EOF inside a string: reference surfaces end-of-input
                 self.pos = n
                 raise StopIteration
-            c = buf[i]
+            j = m.start()
+            out += buf[i:j]
+            c = buf[j]
             if c == 0x28:
                 depth += 1
+                out.append(c)
+                i = j + 1
             elif c == 0x29:
                 depth -= 1
                 if depth == 0:
-                    i += 1
-                    break
-            elif c == 0x5C:  # backslash
-                i += 1
+                    self.pos = j + 1
+                    return LiteralString(bytes(out))
+                out.append(c)
+                i = j + 1
+            else:  # backslash
+                i = j + 1
                 if i >= n:
                     self.pos = n
                     raise StopIteration
@@ -244,36 +285,35 @@ class Tokenizer:
                     continue
                 out.append(ESCAPE_MAP.get(d, d))
                 i += 1
-                continue
-            out.append(c)
-            i += 1
-        self.pos = i
-        return LiteralString(bytes(out))
 
     def _scan_hex_string(self):
+        # one C regex match finds the body extent; whitespace is stripped
+        # with translate() — digits, terminator and error offsets are
+        # identical to the per-byte loop
         buf, n = self.buf, self.n
         i = self.pos + 1
-        out = bytearray()
-        while True:
-            if i >= n:
-                self.pos = n
-                raise StopIteration
-            c = buf[i]
-            if c in WHITESPACE:
-                i += 1
-                continue
-            if c not in _HEXDIGITS:
-                break
-            out.append(c)
-            i += 1
-        if buf[i] != 0x3E:  # >
-            raise TokenError("hex string not closed by '>' at offset %d" % i)
-        self.pos = i + 1
-        return HexString(bytes(out))
+        j = _HEX_RE.match(buf, i).end()
+        if j >= n:
+            self.pos = n
+            raise StopIteration
+        if buf[j] != 0x3E:  # >
+            raise TokenError("hex string not closed by '>' at offset %d" % j)
+        self.pos = j + 1
+        return HexString(buf[i:j].translate(None, _WS_BYTES))
 
     def _scan_name(self) -> str:
         buf, n = self.buf, self.n
         i = self.pos
+        # fast path: the whole regular-byte run in one C regex match;
+        # '#xx' escapes (rare) fall back to the byte loop from the start
+        m = _NAME_RE.match(buf, i)
+        if m is None:
+            return ""  # no regular byte at pos — empty name, pos unchanged
+        j = m.end()
+        raw = buf[i:j]
+        if 0x23 not in raw:  # no '#'
+            self.pos = j
+            return raw.decode("utf8")
         out = bytearray()
         while i < n:
             c = buf[i]
@@ -293,24 +333,17 @@ class Tokenizer:
         return out.decode("utf8")
 
     def _scan_number(self, leading_digit: bool):
-        buf, n = self.buf, self.n
-        i = self.pos
-        start = i
-        if buf[i] in (0x2B, 0x2D):
-            i += 1
-        while i < n and buf[i] in _DIGITS:
-            i += 1
-        is_real = i < n and buf[i] == 0x2E
-        if is_real:
-            i += 1
-            while i < n and buf[i] in _DIGITS:
-                i += 1
-        text = buf[start:i]
+        # one C regex match covering exactly the former hand scan:
+        # sign? digits* ('.' digits*)?
+        buf, i = self.buf, self.pos
+        m = _NUM_RE.match(buf, i)
+        j = m.end()
+        text = buf[i:j]
         if not leading_digit and len(text) == 1:
             raise TokenError(
-                "dangling sign/point at offset %d" % start)
-        self.pos = i
-        if is_real:
+                "dangling sign/point at offset %d" % i)
+        self.pos = j
+        if m.group(1) is not None:
             return float(text)
         return int(text)
 

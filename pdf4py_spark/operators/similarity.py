@@ -149,12 +149,15 @@ def _ivf_assign(emb, centroids, n_probe: int):
     the rounded cosine + cid tie-break keeps both engines bit-aligned.
     r6: scoring unrolled into codegen with per-side factored norms
     (value-identical to the _COS fold it replaces, see _dot_unrolled)."""
+    from . import widen_narrow_scan
+
     cent = (centroids
             .selectExpr("cid", "cast(ce as array<double>) AS cd")
             .selectExpr("cid", "cd",
                         "sqrt(%s) AS cn" % _dot_unrolled("cd", "cd")))
-    scored = (emb.selectExpr("vec_id",
-                             "cast(embedding as array<double>) AS qd")
+    scored = (widen_narrow_scan(emb)
+              .selectExpr("vec_id",
+                          "cast(embedding as array<double>) AS qd")
               .selectExpr("vec_id", "qd",
                           "sqrt(%s) AS qn" % _dot_unrolled("qd", "qd"))
               .join(F.broadcast(cent), F.lit(True))
@@ -185,10 +188,16 @@ def ann_bucketed_topk(spark, sf_dir):
                         _norm_cast("embedding") + " AS qn")
     nv = emb.selectExpr("vec_id AS neighbor_id", "embedding AS ne",
                         _norm_cast("embedding") + " AS nn")
+    # no .distinct() needed (r6): corpus_cells carries crank=1 rows only
+    # (exactly ONE cell per corpus vector, ties broken deterministically)
+    # and query_cells probes n_probe DISTINCT cells, so a (query_id,
+    # neighbor_id) pair can match on at most one cid — the candidate set
+    # is duplicate-free by construction and the oracle's SELECT DISTINCT
+    # is an identity over it; dropping the operator removes a full
+    # shuffle+aggregate of the candidate relation.
     cand = (query_cells.join(corpus_cells, "cid")
             .select("query_id", F.col("vec_id").alias("neighbor_id"))
-            .where("query_id <> neighbor_id")
-            .distinct())
+            .where("query_id <> neighbor_id"))
     pairs = (cand.join(qv, "query_id").join(nv, "neighbor_id")
              .selectExpr("query_id", "neighbor_id",
                          "round((%s) / (qn * nn), 4) AS cosine"

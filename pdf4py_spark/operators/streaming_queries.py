@@ -86,19 +86,27 @@ class _drain_conf:
     don't grow tmpfs by a corpus copy per invocation (sinks stay — the
     returned DataFrame reads from them).
 
-    Width 16, A/B'd warm min-of-3 on sessions_stream sf0.1/local[32]:
-    4 -> 11.1 s, 8 -> 8.9 s, 16 -> 6.3 s, 32 -> 6.6 s. The stateful
-    Python work parallelizes up to ~half the cores before per-partition
-    state-store fixed costs win; 16 is the knee."""
+    Width is SCALE-ADAPTIVE (r6): one state-store instance opens per
+    shuffle partition per micro-batch, so small inputs want few
+    partitions (r5 A/B at sf0.1/local[32]: 4 -> 11.1 s, 8 -> 8.9 s,
+    16 -> 6.3 s, 32 -> 6.6 s — 16 is the knee) while at 10x the input
+    the per-partition fixed cost amortizes and the stateful Python work
+    wants every core (r6 A/B on sessions_stream sf1.0: 16 -> 29.6 s,
+    32 -> 14.9 s, 48 -> 18.0 s). Derived from input bytes, floored at
+    the sf0.1 knee and capped at the session's core count — never a
+    hard-coded cluster constant."""
 
-    def __init__(self, spark, src):
+    def __init__(self, spark, src, input_bytes=0):
         self.spark, self.src = spark, src
+        self.input_bytes = input_bytes
 
     def __enter__(self):
+        cores = self.spark.sparkContext.defaultParallelism
+        width = min(max(16, self.input_bytes // 262144), max(cores, 16))
         self.tz = self.spark.conf.get("spark.sql.session.timeZone")
         self.sp = self.spark.conf.get("spark.sql.shuffle.partitions")
         self.spark.conf.set("spark.sql.session.timeZone", "UTC")
-        self.spark.conf.set("spark.sql.shuffle.partitions", "16")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(width))
         return self
 
     def __exit__(self, *exc):
@@ -180,7 +188,8 @@ def sessions_stream(spark, sf_dir):
 
     base = _stream_base(spark, "sessions_stream")
     src, out = os.path.join(base, "in"), os.path.join(base, "out")
-    with _drain_conf(spark, src):
+    with _drain_conf(spark, src, input_bytes=os.path.getsize(
+            os.path.join(sf_dir, "events.parquet"))):
         ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         # 2 replay files, not 4: still >1 micro-batch (the cross-batch
         # state contract stays exercised here AND is fixture-pinned in
@@ -252,7 +261,8 @@ def dedup_stream(spark, sf_dir):
     re-emit after eviction)."""
     base = _stream_base(spark, "dedup_stream")
     src, out = os.path.join(base, "in"), os.path.join(base, "out")
-    with _drain_conf(spark, src):
+    with _drain_conf(spark, src, input_bytes=os.path.getsize(
+            os.path.join(sf_dir, "documents.parquet"))):
         docs = (spark.read
                 .parquet(os.path.join(sf_dir, "documents.parquet"))
                 .select("doc_id", "text"))
@@ -308,7 +318,8 @@ def frontier_stream(spark, sf_dir):
 
     base = _stream_base(spark, "frontier_stream")
     src, out = os.path.join(base, "in"), os.path.join(base, "out")
-    with _drain_conf(spark, src):
+    with _drain_conf(spark, src, input_bytes=os.path.getsize(
+            os.path.join(sf_dir, "documents.parquet"))):
         docs = (spark.read
                 .parquet(os.path.join(sf_dir, "documents.parquet"))
                 .select("doc_id", "text")
