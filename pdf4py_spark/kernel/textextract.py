@@ -24,7 +24,11 @@ is what makes byte-identity with the reference-driven oracle well defined.
 
 from __future__ import annotations
 
-from .model import HexString, LiteralString, Operator, Ref, Stream
+from .lexer import Tokenizer
+from .model import (
+    DictMark, HexString, Keyword, LiteralString, Operator, Ref, Singleton,
+    Stream,
+)
 from .parser import DocumentParser, ObjectScanner
 
 _SHOW_OPS = ("Tj", "'", '"')
@@ -89,8 +93,27 @@ def _unhex(digits: bytes) -> bytes:
 
 def text_from_content_bytes(content: bytes) -> bytes:
     """Concatenate string operands of text-showing operators in content
-    order from one decoded content stream."""
-    scanner = ObjectScanner(excise_inline_images(content), content_mode=True)
+    order from one decoded content stream.
+
+    r6: a token-driven fast interpreter (no per-object ObjectScanner.parse
+    frame — the parse layer was ~20% of the extraction kernel) handles the
+    overwhelmingly common flat content shape; ANY construct it does not
+    replicate exactly (inline dicts, ``N G obj``) bails out and the
+    parse-based exact interpreter re-runs the whole stream, so the output
+    is the parse-based result by construction on every bail. Byte-equality
+    of the fast path is pinned by a whole-corpus doc-by-doc compare
+    against the exact path plus the frozen bench corpus checksum
+    (OPTIMIZATION_r06.md)."""
+    data = excise_inline_images(content)
+    try:
+        return _text_fast(data)
+    except _FallBack:
+        return _text_exact(data)
+
+
+def _text_exact(data: bytes) -> bytes:
+    """The parse-based reference interpreter (pre-r6 implementation)."""
+    scanner = ObjectScanner(data, content_mode=True)
     pieces = []
     pending = []  # operand stack since the previous operator
     while True:
@@ -125,6 +148,184 @@ def text_from_content_bytes(content: bytes) -> bytes:
             pending.clear()
         else:
             pending.append(obj)
+    return b"".join(pieces)
+
+
+class _FallBack(Exception):
+    """Raised by _text_fast on any construct whose consumption it does
+    not replicate bit-for-bit; the caller re-runs the exact path."""
+
+
+#: content nesting bound — must track ObjectScanner.MAX_NESTING so the
+#: fast path ends extraction at the same construction point
+_MAX_NESTING = ObjectScanner.MAX_NESTING
+
+
+def _text_fast(data: bytes) -> bytes:
+    """Token-driven twin of _text_exact for flat content streams.
+
+    State replication notes (all against ObjectScanner.parse semantics,
+    content_mode=True, obj_id=None):
+    * the operand stack only matters through 'the most recent
+      Literal/HexString' (show ops) and 'the most recent array' (TJ),
+      both cleared at every operator — tracked as two slots;
+    * the int reference-lookahead (N N R -> Ref, with the third token
+      effectively pushed back when the pattern fails) is replicated with
+      a one-slot hold; ``N G obj`` bails (IndirectObject);
+    * dict marks bail (<< can parse successfully and continue);
+    * Keyword / StreamMark / bare '>>' / stray ] { } raise
+      StructureError in the exact path, which ends extraction — here they
+      simply end the loop at the same point;
+    * StopIteration / TokenError anywhere end extraction with the pieces
+      gathered so far — identical to the exact path's except/break;
+    * an incomplete array contributes nothing (the exact path never
+      returns it into pending).
+    """
+    tok = Tokenizer(data)
+    pieces = []
+    last_str = None   # decoded bytes of the most recent string operand
+    last_arr = None   # decoded pieces of the most recent array operand
+    held = None       # one-slot pushback for the int lookahead
+    _lit = LiteralString
+    _hex = HexString
+    _op = Operator
+    _single = Singleton
+
+    def _nxt():
+        nonlocal held
+        if held is not None:
+            v = held
+            held = None
+            return v
+        return tok.next_token()
+
+    def _consume_int_run(first):
+        """Consume parse()'s int lookahead starting from int ``first``
+        (already consumed); leaves the follow-on token in ``held``.
+        Mirrors: N N R -> Ref, N G obj -> bail, otherwise each int is a
+        plain operand and the lookahead token is pushed back."""
+        nonlocal held
+        cur = first
+        while cur.__class__ is int:
+            second = _nxt()
+            if isinstance(second, int):
+                third = tok.next_token()
+                if third.__class__ is _op and third.value == "R":
+                    return  # Ref consumed: held stays empty
+                if isinstance(third, Keyword):
+                    if third.value == b"obj":
+                        raise _FallBack()
+                    raise StopIteration  # StructureError in exact path
+                held = third
+                cur = second
+            else:
+                held = second
+                return
+
+    def _consume_array(depth: int):
+        """Consume one array (opening '[' already consumed), returning
+        its string pieces in element order. Mirrors parse()'s array
+        branch; raises _FallBack/TokenError/StopIteration like parse.
+
+        Depth alignment: parse() raises when an ELEMENT parse starts
+        with MAX_NESTING frames active — an empty array at the limit
+        still closes — so the breach test runs per non-']' element, not
+        at array entry."""
+        out = []
+        while True:
+            cur = _nxt()
+            t = cur.__class__
+            if depth >= _MAX_NESTING and not (
+                    t is _single and cur.value == 0x5D):
+                raise StopIteration  # exact path: StructureError -> end
+            if t is int:
+                _consume_int_run(cur)
+                continue
+            if t is _lit:
+                out.append(cur.value)
+                continue
+            if t is _hex:
+                out.append(_unhex(cur.value))
+                continue
+            if t is float or t is str or t is bool or cur is None \
+                    or t is _op:
+                continue  # non-string element (incl. bare operators)
+            if t is _single:
+                v = cur.value
+                if v == 0x5D:  # ] closes this array
+                    return out
+                if v == 0x5B:  # nested array: consume, contribute nothing
+                    _consume_array(depth + 1)
+                    continue
+                raise StopIteration  # { } -> StructureError in exact path
+            if t is DictMark and cur.value == b"<<":
+                raise _FallBack()
+            raise StopIteration  # Keyword / StreamMark / bare >> / other
+
+    # first token: StopIteration means empty content (exact path: scanner
+    # construction marks done -> b""), but a Token/KernelError must
+    # PROPAGATE like ObjectScanner.__init__ does (the whole document
+    # quarantines) — it must not be swallowed into an empty result
+    try:
+        cur = tok.next_token()
+    except StopIteration:
+        return b""
+    try:
+        while True:
+            t = cur.__class__
+            if t is int:
+                _consume_int_run(cur)
+                cur = _nxt()
+                continue
+            if t is _op:
+                # parse() PRE-FETCHES the next token before returning an
+                # object, so an operator's effect lands only if the
+                # following token scans cleanly (EOF counts as clean, a
+                # TokenError does not) — fetch first, then apply
+                name = cur.value
+                try:
+                    nxt = _nxt()
+                except StopIteration:
+                    nxt = None
+                    ended = True
+                else:
+                    ended = False
+                if name in _SHOW_OPS:
+                    if last_str is not None:
+                        pieces.append(last_str)
+                elif name == "TJ":
+                    if last_arr is not None:
+                        pieces.extend(last_arr)
+                last_str = None
+                last_arr = None
+                if ended:
+                    break
+                cur = nxt
+                continue
+            if t is _lit:
+                last_str = cur.value
+                cur = tok.next_token()
+                continue
+            if t is _hex:
+                last_str = _unhex(cur.value)
+                cur = tok.next_token()
+                continue
+            if t is float or t is str or t is bool or cur is None:
+                cur = _nxt()
+                continue
+            if t is _single:
+                if cur.value == 0x5B:  # [
+                    last_arr = _consume_array(1)
+                    cur = _nxt()
+                    continue
+                break  # ] { } at top level -> StructureError in exact path
+            if t is DictMark and cur.value == b"<<":
+                raise _FallBack()
+            break  # Keyword / StreamMark / bare >> / anything else
+    except _FallBack:
+        raise
+    except Exception:
+        pass  # end of input or scan error: keep pieces gathered so far
     return b"".join(pieces)
 
 

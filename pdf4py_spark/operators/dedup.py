@@ -255,6 +255,8 @@ def _ensure_checkpoint_dir(df):
     /tmp checkpoint would be executor-local in disguise — the whole point
     of the reliable checkpoint (executor-loss safety) would be lost — so
     off-local we REFUSE to default and demand an explicit directory."""
+    import os
+
     sc = df.sparkSession.sparkContext
     if sc._jsc.sc().getCheckpointDir().isEmpty():
         if not sc.master.startswith("local"):
@@ -264,7 +266,12 @@ def _ensure_checkpoint_dir(df):
                 "sc.setCheckpointDir) to an HDFS/S3 path; refusing to "
                 "default to local /tmp, which is executor-local and "
                 "defeats executor-loss safety (master=%s)" % sc.master)
-        sc.setCheckpointDir("/tmp/pdf4py_spark_ckpt")
+        # tmpfs over the slow virtio disk on local masters (r6) — same
+        # reasoning as the streaming scratch dir; one machine, so
+        # "shared storage" holds either way
+        sc.setCheckpointDir("/dev/shm/pdf4py_spark_ckpt"
+                            if os.path.isdir("/dev/shm")
+                            else "/tmp/pdf4py_spark_ckpt")
 
 
 def _cc_from_buckets(docs, buckets, max_iters: int = 50):

@@ -412,14 +412,20 @@ def ann_lsh_topk(spark, sf_dir):
     (literal plane vectors folded with zip_with/aggregate — n rows in, n
     rows out, no explode/shuffle); candidate generation is a hash join on
     (band, bucket) with population ~ n/2^N_PLANES per bucket per band."""
-    emb = table(spark, sf_dir, "embeddings")
-    # r6: the per-vector norm is factored out BEFORE the band explode
-    # (computed once per vector, carried through the candidate join), so
-    # the pair stage codegen computes only the 64-term dot — see
-    # _dot_cast's method-size note
-    keyed = emb.selectExpr(
-        "vec_id", "embedding", _norm_cast("embedding") + " AS nrm"
-    ).select(
+    from . import widen_narrow_scan
+
+    # r6: the scan is widened before the 18 per-row bucket folds (they
+    # previously ran on the 1-2-split scan, twice — once per join
+    # branch) and the per-vector norm is factored out before the explode
+    # (see _dot_cast's method-size note). Vectors stay CARRIED through
+    # the candidate dedup: an ids-only dedup + re-attach join variant
+    # was A/B'd warm-equal at sf1.0 (1.7 s both) but compiles more
+    # generated classes, and the suite pays each query's codegen cold.
+    base = (widen_narrow_scan(
+        table(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
+        .selectExpr("vec_id", "embedding",
+                    _norm_cast("embedding") + " AS nrm"))
+    keyed = base.select(
         "vec_id", "embedding", "nrm",
         F.explode(F.array(*[
             F.struct(F.lit(t).alias("band"),

@@ -33,7 +33,10 @@ def assemble_sessions(key, batches, state: GroupState):
     (user_id,) = key
     stamps = []
     for pdf in batches:
-        stamps.extend(int(v) for v in pdf["us"])
+        # ndarray.tolist() converts the whole int64 column to Python ints
+        # in C (r6) — the per-element int(v) generator was the hot line of
+        # the stateful kernel at 1M events/drain; values are identical
+        stamps.extend(pdf["us"].to_numpy().tolist())
     closed = []
 
     if state.hasTimedOut:
