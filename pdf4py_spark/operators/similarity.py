@@ -62,11 +62,16 @@ def _dot_cast(a: str, b: str, dim: int = EMB_DIM) -> str:
         for i in range(dim))
 
 
-def _norm_cast(a: str, dim: int = EMB_DIM) -> str:
-    """sqrt of the unrolled self-dot of a float-array column — the
-    factored per-vector norm (value-identical to _COS's inline
-    ``sqrt(aggregate(...))``)."""
-    return "sqrt(%s)" % _dot_cast(a, a, dim)
+def _norm_fold(a: str) -> str:
+    """The factored per-vector norm as _COS's original
+    ``sqrt(aggregate(...))`` fold (value-identical to the unrolled
+    self-dot). Row-bound expressions deliberately KEEP the fold: its
+    interpreted eval costs ~microseconds per ROW (not per pair), while
+    an unrolled 64-term source at every norm site roughly doubled the
+    generated-code Janino compile time that dominates these queries'
+    cold runs — the suite pays each query's codegen exactly once."""
+    return ("sqrt(aggregate(cast(%s as array<double>), 0D,"
+            " (a, x) -> a + x * x))" % a)
 
 
 def _ranked(pairs):
@@ -89,7 +94,7 @@ def ann_cosine_topk(spark, sf_dir):
                .selectExpr("vec_id AS query_id",
                            "cast(embedding as array<double>) AS qd")
                .selectExpr("query_id", "qd",
-                           "sqrt(%s) AS qn" % _dot_unrolled("qd", "qd")))
+                           _norm_fold("qd") + " AS qn"))
     # broadcast the QUERY side and stream the corpus (the r5 plan
     # broadcast the corpus and streamed the 1/50 query slice, leaving the
     # O(n*m) pair stage at the query scan's parallelism: 2 tasks on 32
@@ -102,7 +107,7 @@ def ann_cosine_topk(spark, sf_dir):
               .selectExpr("vec_id AS neighbor_id",
                           "cast(embedding as array<double>) AS nd")
               .selectExpr("neighbor_id", "nd",
-                          "sqrt(%s) AS nn" % _dot_unrolled("nd", "nd")))
+                          _norm_fold("nd") + " AS nn"))
     pairs = (F.broadcast(queries).crossJoin(corpus)
              .where("query_id <> neighbor_id")
              .selectExpr("query_id", "neighbor_id",
@@ -154,12 +159,12 @@ def _ivf_assign(emb, centroids, n_probe: int):
     cent = (centroids
             .selectExpr("cid", "cast(ce as array<double>) AS cd")
             .selectExpr("cid", "cd",
-                        "sqrt(%s) AS cn" % _dot_unrolled("cd", "cd")))
+                        _norm_fold("cd") + " AS cn"))
     scored = (widen_narrow_scan(emb)
               .selectExpr("vec_id",
                           "cast(embedding as array<double>) AS qd")
               .selectExpr("vec_id", "qd",
-                          "sqrt(%s) AS qn" % _dot_unrolled("qd", "qd"))
+                          _norm_fold("qd") + " AS qn")
               .join(F.broadcast(cent), F.lit(True))
               .selectExpr("vec_id", "cid",
                           "round((%s) / (qn * cn), 4) AS ccos"
@@ -185,9 +190,9 @@ def ann_bucketed_topk(spark, sf_dir):
                                centroids, NPROBE)
                    .withColumnRenamed("vec_id", "query_id"))
     qv = emb.selectExpr("vec_id AS query_id", "embedding AS qe",
-                        _norm_cast("embedding") + " AS qn")
+                        _norm_fold("embedding") + " AS qn")
     nv = emb.selectExpr("vec_id AS neighbor_id", "embedding AS ne",
-                        _norm_cast("embedding") + " AS nn")
+                        _norm_fold("embedding") + " AS nn")
     # no .distinct() needed (r6): corpus_cells carries crank=1 rows only
     # (exactly ONE cell per corpus vector, ties broken deterministically)
     # and query_cells probes n_probe DISTINCT cells, so a (query_id,
@@ -424,7 +429,7 @@ def ann_lsh_topk(spark, sf_dir):
     base = (widen_narrow_scan(
         table(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
         .selectExpr("vec_id", "embedding",
-                    _norm_cast("embedding") + " AS nrm"))
+                    _norm_fold("embedding") + " AS nrm"))
     keyed = base.select(
         "vec_id", "embedding", "nrm",
         F.explode(F.array(*[

@@ -80,11 +80,18 @@ def assemble_sessions(key, batches, state: GroupState):
             "user_id", "session_start_us", "session_end_us", "n_events"])
 
 
-def sessionize_stream(spark: SparkSession, source_dir: str, output_dir: str):
+def sessionize_stream(spark: SparkSession, source_dir: str, output_dir: str,
+                      files_per_trigger: int = 1):
     """availableNow drain: file stream -> watermark -> stateful session
-    assembly -> parquet append (checkpointed, emit-once)."""
+    assembly -> parquet append (checkpointed, emit-once).
+
+    ``files_per_trigger`` groups several mtime-ordered replay files into
+    one micro-batch; the emitted session set is batch-boundary-invariant
+    (gap closures depend only on per-user event order; timer closures on
+    the FINAL watermark), pinned by tests and the r6 cross-width result
+    hashes."""
     stream = (spark.readStream.schema(EVENTS_SCHEMA)
-              .option("maxFilesPerTrigger", 1)
+              .option("maxFilesPerTrigger", files_per_trigger)
               .parquet(source_dir)
               .withColumn("ts", F.col("ts").cast("timestamp"))
               .withWatermark("ts", "1 hour")
