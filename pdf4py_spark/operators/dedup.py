@@ -171,13 +171,20 @@ def dedup_minhash_lsh(spark, sf_dir):
     """
     from . import persist_tracked
 
+    from pyspark.sql import Window
+
     sig = _shared_sig(spark, sf_dir)
     buckets = _band_buckets(sig)
-    small = (buckets.groupBy("band", "key")
-             .agg(F.count("*").alias("bn"))
-             .where(F.col("bn") <= MAX_BUCKET)
-             .select("band", "key"))
-    capped = persist_tracked(buckets.join(small, ["band", "key"]))
+    # r6: the mega-bucket cap as ONE window over (band, key) instead of
+    # a count aggregate joined back onto the bucket relation — same rows
+    # (a bucket's rows all survive iff its count <= MAX_BUCKET), but one
+    # exchange of the bucket relation instead of two, and the surviving
+    # relation stays partitioned/sorted on (band, key) so the candidate
+    # self-join below needs no further exchange (guide §2.4)
+    wb = Window.partitionBy("band", "key")
+    capped = persist_tracked(
+        buckets.withColumn("bn", F.count("*").over(wb))
+        .where(F.col("bn") <= MAX_BUCKET).drop("bn"))
     cand = (capped.alias("a").join(
         capped.alias("b"),
         (F.col("a.band") == F.col("b.band"))
@@ -189,8 +196,10 @@ def dedup_minhash_lsh(spark, sf_dir):
     match_sum = " + ".join(
         "cast(sa.mh%d = sb.mh%d as int)" % (i, i) for i in range(N_PERMS))
     return (cand
-            .join(sig.alias("sa"), F.col("sa.doc_id") == F.col("id_a"))
-            .join(sig.alias("sb"), F.col("sb.doc_id") == F.col("id_b"))
+            .join(sig.alias("sa").hint("SHUFFLE_HASH"),
+                  F.col("sa.doc_id") == F.col("id_a"))
+            .join(sig.alias("sb").hint("SHUFFLE_HASH"),
+                  F.col("sb.doc_id") == F.col("id_b"))
             .select("id_a", "id_b",
                     F.expr("round((%s) / cast(%d as double), 4)"
                            % (match_sum, N_PERMS))
@@ -205,16 +214,16 @@ def dedup_minhash_clusters(spark, sf_dir):
     10^5 rows here, not 5*10^9 pairs — this is the 100 TB dedup path;
     the pair query exists for inspection/thresholding.
 
-    `buckets` feeds both the per-bucket min aggregate and the join back
-    onto itself; persisted so the 64-perm signature pass runs once (r3
-    verdict fix — same recompute as dedup_minhash_lsh's), on top of the
-    session-shared signature relation (_shared_sig)."""
-    from . import persist_tracked
+    r6: the per-bucket min is a WINDOW over (band, key) instead of an
+    aggregate joined back onto the bucket relation — same value attached
+    to every bucket row, one exchange instead of two, and `buckets` now
+    has a single consumer so its former persist (r3) is gone; only the
+    session-shared signature relation (_shared_sig) stays cached."""
+    from pyspark.sql import Window
 
-    buckets = persist_tracked(_band_buckets(_shared_sig(spark, sf_dir)))
-    bucket_min = (buckets.groupBy("band", "key")
-                  .agg(F.min("doc_id").alias("m")))
-    clusters = (buckets.join(bucket_min, ["band", "key"])
+    buckets = _band_buckets(_shared_sig(spark, sf_dir))
+    wb = Window.partitionBy("band", "key")
+    clusters = (buckets.withColumn("m", F.min("doc_id").over(wb))
                 .groupBy("doc_id")
                 .agg(F.min("m").alias("cluster_id")))
     return clusters.select(
@@ -279,12 +288,17 @@ def _cc_from_buckets(docs, buckets, max_iters: int = 50):
 
     _ensure_checkpoint_dir(buckets)
     buckets = buckets.checkpoint()  # reused every round: reliable, not
+    from pyspark.sql import Window
+
     lab = docs.select("doc_id", F.col("doc_id").alias("lbl"))  # executor-local
+    wb = Window.partitionBy("band", "key")
     for it in range(max_iters):
-        bucket_min = (buckets.join(lab, "doc_id")
-                      .groupBy("band", "key").agg(F.min("lbl").alias("bm")))
+        # r6: per-bucket min label as a window over the labeled bucket
+        # relation — one exchange per round instead of two (the former
+        # groupBy + join-back both shuffled on the same (band, key))
         obs = Observation("cc_round_%d" % it)
-        new_lab = (buckets.join(bucket_min, ["band", "key"])
+        new_lab = (buckets.join(lab, "doc_id")
+                   .withColumn("bm", F.min("lbl").over(wb))
                    .groupBy("doc_id").agg(F.min("bm").alias("bm"))
                    .join(lab, "doc_id")
                    .select("doc_id", F.least("bm", "lbl").alias("lbl"),
@@ -513,11 +527,14 @@ def dedup_ngram_jaccard(spark, sf_dir):
                F.expr("cast(conv(substring(md5(g), 1, 15), 16, 10)"
                       " as bigint)").alias("gh")))
     tri = persist_tracked(tri)
-    rare = (tri.groupBy("source", "gh")
-            .agg(F.count("*").alias("df"))
-            .where(F.col("df") <= MAX_TRIGRAM_DF)
-            .select("source", "gh"))
-    rare_tri = tri.join(rare, ["source", "gh"])
+    # r6: the rare-shingle document-frequency cap as ONE window over
+    # (source, gh) instead of a count aggregate joined back — same rows,
+    # one exchange of the trigram relation instead of two, and rare_tri
+    # stays (source, gh)-partitioned for the candidate self-join below
+    from pyspark.sql import Window
+    wr = Window.partitionBy("source", "gh")
+    rare_tri = (tri.withColumn("df", F.count("*").over(wr))
+                .where(F.col("df") <= MAX_TRIGRAM_DF).drop("df"))
     cand = (rare_tri.alias("a").join(
         rare_tri.alias("b"),
         (F.col("a.source") == F.col("b.source"))
@@ -546,9 +563,9 @@ def dedup_ngram_jaccard(spark, sf_dir):
             F.count("*").alias("n")))
     return (cand
             .join(sets.selectExpr("doc_id AS id_a", "ghs AS ga",
-                                  "n AS na"), "id_a")
+                                  "n AS na").hint("SHUFFLE_HASH"), "id_a")
             .join(sets.selectExpr("doc_id AS id_b", "ghs AS gb",
-                                  "n AS nb"), "id_b")
+                                  "n AS nb").hint("SHUFFLE_HASH"), "id_b")
             .withColumn("n_common",
                         F.size(F.array_intersect("ga", "gb"))
                         .cast("bigint"))

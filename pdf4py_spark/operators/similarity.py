@@ -203,7 +203,13 @@ def ann_bucketed_topk(spark, sf_dir):
     cand = (query_cells.join(corpus_cells, "cid")
             .select("query_id", F.col("vec_id").alias("neighbor_id"))
             .where("query_id <> neighbor_id"))
-    pairs = (cand.join(qv, "query_id").join(nv, "neighbor_id")
+    # SHUFFLE_HASH on the per-vector sides (r6): the rerank attaches ~n
+    # rows of vectors to |cand| candidate rows; a shuffled-hash build of
+    # the small side skips sort-merge's sort of the candidate relation
+    # twice, and stays scale-safe (the build side is a per-partition
+    # slice of the vector relation, guide §3.1)
+    pairs = (cand.join(qv.hint("SHUFFLE_HASH"), "query_id")
+             .join(nv.hint("SHUFFLE_HASH"), "neighbor_id")
              .selectExpr("query_id", "neighbor_id",
                          "round((%s) / (qn * nn), 4) AS cosine"
                          % _dot_cast("qe", "ne")))
