@@ -74,7 +74,7 @@ def main():
     for name in names:
         fn = queries[name]
         rec = {"count": [], "noop": []}
-        for i in range(args.repeats):
+        for i in range(args.repeats):  # -n 0 = explain-only capture
             spark.sparkContext.setJobDescription(
                 "r06 %s count #%d" % (name, i))
             t0 = time.perf_counter()

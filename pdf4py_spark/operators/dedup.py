@@ -55,7 +55,14 @@ _SIG_CACHE = {}
 def _shared_sig(spark, sf_dir):
     from . import persist_tracked
 
-    key = (spark.sparkContext.applicationId, sf_dir)
+    app = spark.sparkContext.applicationId
+    # drop entries bound to DEAD sessions before inserting (r5 advice
+    # #2: a long-lived driver that stops/starts Spark sessions without
+    # calling release_caches() would otherwise accumulate DataFrame
+    # handles bound to stopped contexts)
+    for k in [k for k in _SIG_CACHE if k[0] != app]:
+        del _SIG_CACHE[k]
+    key = (app, sf_dir)
     sig = _SIG_CACHE.get(key)
     if sig is None:
         docs = _docs(spark, sf_dir).select("doc_id", "text")
