@@ -24,7 +24,9 @@ is what makes byte-identity with the reference-driven oracle well defined.
 
 from __future__ import annotations
 
-from .lexer import Tokenizer
+import re
+
+from .lexer import ESCAPE_MAP, Tokenizer, _STR_SPECIAL_RE, _WS_BYTES
 from .model import (
     DictMark, HexString, Keyword, LiteralString, Operator, Ref, Singleton,
     Stream,
@@ -95,18 +97,28 @@ def text_from_content_bytes(content: bytes) -> bytes:
     """Concatenate string operands of text-showing operators in content
     order from one decoded content stream.
 
-    r6: a token-driven fast interpreter (no per-object ObjectScanner.parse
-    frame — the parse layer was ~20% of the extraction kernel) handles the
-    overwhelmingly common flat content shape; ANY construct it does not
-    replicate exactly (inline dicts, ``N G obj``) bails out and the
-    parse-based exact interpreter re-runs the whole stream, so the output
-    is the parse-based result by construction on every bail. Byte-equality
-    of the fast path is pinned by a whole-corpus doc-by-doc compare
-    against the exact path plus the frozen bench corpus checksum
+    r6: two fast tiers above the parse-based exact interpreter.
+    Tier 1 (``_text_fast2``) drives one master regex per token — no
+    Tokenizer object, no token objects, no int()/float()/utf8-decode for
+    operands whose CLASS is all the interpreter needs — and bails on ANY
+    construct or lexical irregularity it does not replicate bit-for-bit:
+    ``_FallBack2`` re-runs tier 2, ``_FallBack`` (``<<`` / ``N G obj``,
+    exactly tier 2's own bail set) goes straight to the exact
+    interpreter. Tier 2 (``_text_fast``) is the token-driven twin of the
+    exact path (no per-object ObjectScanner.parse frame). Every bail
+    re-runs a slower-but-pinned tier, so the output is the parse-based
+    result by construction on every bail; the only correctness surface is
+    the non-bail path, pinned by whole-corpus doc-by-doc compares, 500k
+    differential-fuzz trials, and the frozen bench corpus checksum
     (OPTIMIZATION_r06.md)."""
     data = excise_inline_images(content)
     try:
-        return _text_fast(data)
+        return _text_fast2(data)
+    except _FallBack2:
+        try:
+            return _text_fast(data)
+        except _FallBack:
+            return _text_exact(data)
     except _FallBack:
         return _text_exact(data)
 
@@ -326,6 +338,291 @@ def _text_fast(data: bytes) -> bytes:
         raise
     except Exception:
         pass  # end of input or scan error: keep pieces gathered so far
+    return b"".join(pieces)
+
+
+class _FallBack2(Exception):
+    """Raised by _text_fast2 on any construct or lexical irregularity it
+    does not replicate bit-for-bit; the caller re-runs _text_fast."""
+
+
+class _EndScan(Exception):
+    """_text_fast2-internal: end extraction, keep pieces (the exact
+    path's StopIteration-equivalent)."""
+
+
+# One C-loop match per token. The atomic whitespace prefix (?>...) is
+# load-bearing: without it a failed alternation at trailing whitespace
+# backtracks into the catch-all and misreads EOF as an unknown byte.
+# Group order encodes the lexer's dispatch: floats before ints (greedy
+# number scan), the number-error group <nb> before <op> so a sign/dot
+# lead byte can never lex as an operator word (the byte-level lexer
+# routes [+-.] to the number scanner, which errors on a dangling sign —
+# _scan_number), and value literals before struct keywords in exactly
+# _WORD_CANDIDATES' per-first-byte probe order (prefix match, no word
+# boundary — 'truex' lexes as 'true' + 'x' in both).
+_TOK2 = re.compile(
+    rb"(?>[\x00\t\n\x0c\r ]*)"
+    rb"(?:"
+    rb"(?P<s>\((?P<sv>[^()\\]*)\))"                     # escape-free string
+    rb"|(?P<f>[+-]?(?:[0-9]+\.[0-9]*|\.[0-9]+))"        # float (>=1 digit)
+    rb"|(?P<i>[+-]?[0-9]+)"                              # int
+    rb"|(?P<n>/[^\x00-\x20\x7f-\xff()<>\[\]{}/%]*)"     # name
+    rb"|(?P<nb>[+-]|\.)"                                 # number-scan error
+    rb"|(?P<lit>true|false|null|stream|<<|>>|endobj|obj|trailer|xref"
+    rb"|startxref|endstream)"
+    rb"|(?P<op>[^\x00-\x20\x7f-\xff()<>\[\]{}/%]+)"     # operator word
+    rb"|(?P<h><(?P<hv>[0-9a-fA-F\x00\t\n\x0c\r ]*)>)"   # hex string
+    rb"|(?P<ao>\[)|(?P<ac>\])"
+    rb"|(?P<hard>\()"                                    # string w/ specials
+    rb"|(?P<cmt>%[^\n]*\n)"
+    rb"|(?P<bad>[\s\S])"                                 # anything else
+    rb")"
+)
+
+#: token kinds; operands that only matter by CLASS (numbers, names,
+#: booleans, null) never materialize a value
+(_K_INT, _K_FLOAT, _K_BOOL, _K_NULL, _K_NAME, _K_STR, _K_OP, _K_AO,
+ _K_AC, _K_KW, _K_DC) = range(11)
+
+_T_INT = (_K_INT, None)
+_T_FLOAT = (_K_FLOAT, None)
+_T_NAME = (_K_NAME, None)
+_T_AO = (_K_AO, None)
+_T_AC = (_K_AC, None)
+
+_LIT_KIND = {
+    b"true": (_K_BOOL, True), b"false": (_K_BOOL, False),
+    b"null": (_K_NULL, None), b">>": (_K_DC, None),
+    b"endobj": (_K_KW, b"endobj"), b"obj": (_K_KW, b"obj"),
+    b"trailer": (_K_KW, b"trailer"), b"xref": (_K_KW, b"xref"),
+    b"startxref": (_K_KW, b"startxref"),
+    b"endstream": (_K_KW, b"endstream"),
+    # b"stream" / b"<<" are bail constructs, handled inline
+}
+
+_SHOW_OPS_B = (b"Tj", b"'", b'"')
+_DIGIT_BYTES = frozenset(b"0123456789")
+
+
+def _scan_hard_string(buf: bytes, i: int, n: int):
+    """Literal string containing ( ) or backslash: the unescape loop of
+    lexer._scan_literal_string, from just after the opening '('.
+    Returns (value, pos_after); EOF inside the string and octal escapes
+    above 255 bail (the old path raises StopIteration / ValueError there
+    and the re-run reproduces those outcomes exactly)."""
+    depth = 1
+    out = bytearray()
+    while True:
+        m = _STR_SPECIAL_RE.search(buf, i)
+        if m is None:
+            raise _FallBack2
+        j = m.start()
+        out += buf[i:j]
+        c = buf[j]
+        if c == 0x28:
+            depth += 1
+            out.append(c)
+            i = j + 1
+        elif c == 0x29:
+            depth -= 1
+            if depth == 0:
+                return bytes(out), j + 1
+            out.append(c)
+            i = j + 1
+        else:  # backslash
+            i = j + 1
+            if i >= n:
+                raise _FallBack2
+            d = buf[i]
+            if d in _DIGIT_BYTES:
+                val = 0
+                k = 0
+                while k < 3 and i < n and buf[i] in _DIGIT_BYTES:
+                    val = (val << 3) + (buf[i] - 0x30)
+                    i += 1
+                    k += 1
+                if val > 255:
+                    raise _FallBack2  # ValueError in the byte-level lexer
+                out.append(val)
+                continue
+            out.append(ESCAPE_MAP.get(d, d))
+            i += 1
+
+
+def _text_fast2(data: bytes) -> bytes:
+    """Regex-match-loop twin of _text_fast (see text_from_content_bytes).
+
+    Replicates _text_fast's state machine token-for-token — the two-slot
+    operand model, the int reference-lookahead (``N N R``; bool counts as
+    a generation number via isinstance, so ``N true R`` is a Ref in both),
+    the one-slot hold (a held ``null`` is dropped there too — a no-op
+    either way since null operands never contribute), parse()'s PRE-FETCH
+    contract (an operator's effect lands only when the following token
+    scans cleanly; EOF counts, a lexical error does not — errors bail and
+    the re-run reproduces the error semantics), and the per-element
+    nesting breach at MAX_NESTING."""
+    buf = data
+    n = len(buf)
+    pos = 0
+    pieces = []
+    last_str = None   # most recent string operand's decoded bytes
+    last_arr = None   # most recent array operand's string pieces
+    held = None       # one-slot pushback for the int lookahead
+    match = _TOK2.match
+
+    def scan():
+        nonlocal pos
+        while True:
+            m = match(buf, pos)
+            if m is None:
+                pos = n
+                raise _EndScan   # trailing whitespace, then EOF
+            g = m.lastgroup
+            pos = m.end()
+            if g == "i":
+                return _T_INT
+            if g == "op":
+                v = m.group("op")
+                if 0x23 in v:    # '#xx' escapes decode in the byte lexer
+                    raise _FallBack2
+                return (_K_OP, v)
+            if g == "s":
+                return (_K_STR, m.group("sv"))
+            if g == "n":
+                if 0x23 in m.group("n"):
+                    raise _FallBack2
+                return _T_NAME
+            if g == "f":
+                return _T_FLOAT
+            if g == "h":
+                return (_K_STR,
+                        _unhex(m.group("hv").translate(None, _WS_BYTES)))
+            if g == "ao":
+                return _T_AO
+            if g == "ac":
+                return _T_AC
+            if g == "hard":
+                v, p2 = _scan_hard_string(buf, m.end(), n)
+                pos = p2
+                return (_K_STR, v)
+            if g == "lit":
+                v = m.group("lit")
+                k = _LIT_KIND.get(v)
+                if k is None:
+                    if v == b"<<":
+                        # _text_fast bails to exact on every dict mark;
+                        # skipping its re-scan is safe even where the
+                        # exact path would END before processing the <<
+                        # (deep-nesting breach): the exact re-run IS the
+                        # ground truth either way
+                        raise _FallBack()
+                    raise _FallBack2  # 'stream' (stream-mark EOL rules)
+                return k
+            if g == "cmt":
+                continue
+            raise _FallBack2  # <nb>, <bad>: lexical error in the old path
+
+    def nxt():
+        nonlocal held
+        if held is not None:
+            v = held
+            held = None
+            return v
+        return scan()
+
+    def consume_int_run(curk):
+        nonlocal held
+        while curk == _K_INT:
+            sk, sv = nxt()
+            if sk == _K_INT or sk == _K_BOOL:
+                tk, tv = scan()
+                if tk == _K_OP and tv == b"R":
+                    return      # Ref consumed: held stays empty
+                if tk == _K_KW:
+                    if tv == b"obj":
+                        raise _FallBack()  # N G obj: same as _text_fast
+                    raise _EndScan  # StructureError in the exact path
+                held = (tk, tv)
+                curk = sk
+            else:
+                held = (sk, sv)
+                return
+
+    def consume_array(depth):
+        out = []
+        while True:
+            k, v = nxt()
+            if depth >= _MAX_NESTING and k != _K_AC:
+                raise _EndScan  # exact path: StructureError -> end
+            if k == _K_INT:
+                consume_int_run(_K_INT)
+                continue
+            if k == _K_STR:
+                out.append(v)
+                continue
+            if k in (_K_FLOAT, _K_NAME, _K_BOOL, _K_NULL, _K_OP):
+                continue        # non-string element (incl. bare operators)
+            if k == _K_AC:
+                return out
+            if k == _K_AO:
+                consume_array(depth + 1)
+                continue
+            raise _EndScan      # keyword / '>>' -> StructureError -> end
+
+    # first token: EOF -> empty content; a lexical error must PROPAGATE
+    # with the byte-level lexer's exact type/message (the document
+    # quarantines on it) -> scan() bails and the re-run raises it
+    try:
+        cur = scan()
+    except _EndScan:
+        return b""
+
+    try:
+        while True:
+            k, v = cur
+            if k == _K_INT:
+                consume_int_run(_K_INT)
+                cur = nxt()
+                continue
+            if k == _K_OP:
+                # pre-fetch before applying the operator's effect
+                ended = False
+                if held is not None:
+                    nxt_tok = held
+                    held = None
+                else:
+                    try:
+                        nxt_tok = scan()
+                    except _EndScan:
+                        ended = True
+                        nxt_tok = None
+                if v in _SHOW_OPS_B:
+                    if last_str is not None:
+                        pieces.append(last_str)
+                elif v == b"TJ":
+                    if last_arr is not None:
+                        pieces.extend(last_arr)
+                last_str = None
+                last_arr = None
+                if ended:
+                    break
+                cur = nxt_tok
+                continue
+            if k == _K_STR:
+                last_str = v
+                cur = scan()
+                continue
+            if k in (_K_FLOAT, _K_NAME, _K_BOOL, _K_NULL):
+                cur = nxt()
+                continue
+            if k == _K_AO:
+                last_arr = consume_array(1)
+                cur = nxt()
+                continue
+            break  # ']' / keyword / '>>' at top level -> end
+    except _EndScan:
+        pass
     return b"".join(pieces)
 
 

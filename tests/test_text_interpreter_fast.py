@@ -124,3 +124,116 @@ def test_fallback_constructs_bail_not_diverge():
         # and the public entry point still yields the exact result
         assert (TE.text_from_content_bytes(data)
                 == TE._text_exact(TE.excise_inline_images(data)))
+
+
+# ---------------------------------------------------------------------------
+# tier-1 regex interpreter (_text_fast2): must be byte-identical to the
+# production chain on every stream it accepts and bail (either fallback
+# exception) on the rest — the bail path re-runs a pinned tier, so only
+# the non-bail path can diverge. 500k trials of the two generators below
+# ran clean at change time (OPTIMIZATION_r06.md).
+# ---------------------------------------------------------------------------
+
+def _old_chain(data: bytes):
+    try:
+        return ("ok", TE._text_fast(data))
+    except TE._FallBack:
+        try:
+            return ("ok", TE._text_exact(data))
+        except Exception as exc:  # noqa: BLE001
+            return ("exc", type(exc).__name__)
+    except Exception as exc:  # noqa: BLE001
+        return ("exc", type(exc).__name__)
+
+
+def _fast2_outcome(data: bytes):
+    try:
+        return ("ok", TE._text_fast2(data))
+    except (TE._FallBack2, TE._FallBack):
+        return None  # bail: a pinned tier re-runs in production
+    except Exception as exc:  # noqa: BLE001
+        return ("exc", type(exc).__name__)
+
+
+FAST2_EDGE_CASES = EDGE_CASES + [
+    # sign/dot lead bytes must route to the number-error bail, never lex
+    # as an operator word (the <nb> group)
+    b"(a) Tj + (b) Tj",
+    b"(a) Tj . (b) Tj",
+    b"(a) Tj -. (b) Tj",
+    b"(a) Tj 5.. (b) Tj",
+    # prefix keyword matching with no word boundary
+    b"(a) truex Tj",
+    # comment filler mid-stream and (bail) at EOF
+    b"(a) %c\n Tj",
+    b"(a) Tj %trailing",
+    # deep-nesting breach lands on the same element
+    b"[" * 199 + b"(deep)" + b"]" * 199 + b" TJ",
+    b"[" * 201 + b"(deep)" + b"]" * 201 + b" TJ",
+    # hex with odd nibble + embedded whitespace; escape-free vs escaped
+    b"<48 6\n5 6c6C 6> Tj",
+    b"(no escapes) Tj (with \\(escapes\\)) Tj",
+    # held-token paths through the int lookahead
+    b"1 null (x) Tj",
+    b"1 2 3 4 (x) Tj",
+    b"(a) 5 true 7 Tj",
+]
+
+
+def test_fast2_edge_cases_match_production():
+    for data in FAST2_EDGE_CASES:
+        got = _fast2_outcome(data)
+        if got is None:
+            continue  # bailed: pinned tier used in production
+        assert got == _old_chain(data), data
+
+
+def test_fast2_fuzz_matches_production():
+    rng = random.Random(31337)
+    ops = [b"Tj", b"TJ", b"'", b'"', b"BT", b"ET", b"Td", b"R", b"re",
+           b"gs", b"Do", b"q", b"Q", b"T#6a", b"truex"]
+    kws = [b"obj", b"endobj", b"stream", b"trailer", b"xref", b"true",
+           b"false", b"null", b"startxref", b"endstream", b"<<", b">>"]
+
+    def tok(depth=0):
+        r = rng.random()
+        if r < 0.20:
+            return str(rng.choice([0, 1, -5, 42])).encode()
+        if r < 0.30:
+            return rng.choice([b"3.14", b"5.", b".5", b"+", b"-", b".",
+                               b"+.", b"..", b"5..", b"+5"])
+        if r < 0.44:
+            return b"(" + bytes(rng.choice(b"ab\\()n01 \t")
+                                for _ in range(rng.randint(0, 8))) + b")"
+        if r < 0.52:
+            return (b"<" + bytes(rng.choice(b"0123456789abcdefXYZ \n")
+                                 for _ in range(rng.randint(0, 6)))
+                    + rng.choice([b">", b""]))
+        if r < 0.60:
+            return b"/" + bytes(rng.choice(b"AbC#4dz")
+                                for _ in range(rng.randint(0, 6)))
+        if r < 0.75:
+            return rng.choice(ops)
+        if r < 0.81:
+            return rng.choice(kws)
+        if r < 0.90 and depth < 4:
+            return (b"[ " + b" ".join(tok(depth + 1)
+                                      for _ in range(rng.randint(0, 5)))
+                    + rng.choice([b" ]", b""]))
+        if r < 0.94:
+            return b"<< /K " + tok(depth + 1) + b" >>"
+        return rng.choice([b"{", b"}", b"]", b">>", b"\xff", b"%c\n",
+                           b"%c", b")", b"\x7f", b"stream\r\nX"])
+
+    mismatches = []
+    for _ in range(3000):
+        data = rng.choice([b" ", b"", b"\n"]).join(
+            tok() for _ in range(rng.randint(1, 22)))
+        data += rng.choice([b"", b" ", b"\n\n", b"\t"])
+        got = _fast2_outcome(data)
+        if got is None:
+            continue
+        want = _old_chain(data)
+        if got != want:
+            mismatches.append((data, got, want))
+    assert not mismatches, mismatches[:3]
