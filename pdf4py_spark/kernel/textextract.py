@@ -100,17 +100,18 @@ def text_from_content_bytes(content: bytes) -> bytes:
     r6: two fast tiers above the parse-based exact interpreter.
     Tier 1 (``_text_fast2``) drives one master regex per token — no
     Tokenizer object, no token objects, no int()/float()/utf8-decode for
-    operands whose CLASS is all the interpreter needs — and bails on ANY
-    construct or lexical irregularity it does not replicate bit-for-bit:
-    ``_FallBack2`` re-runs tier 2, ``_FallBack`` (``<<`` / ``N G obj``,
-    exactly tier 2's own bail set) goes straight to the exact
-    interpreter. Tier 2 (``_text_fast``) is the token-driven twin of the
-    exact path (no per-object ObjectScanner.parse frame). Every bail
-    re-runs a slower-but-pinned tier, so the output is the parse-based
-    result by construction on every bail; the only correctness surface is
-    the non-bail path, pinned by whole-corpus doc-by-doc compares, 500k
-    differential-fuzz trials, and the frozen bench corpus checksum
-    (OPTIMIZATION_r06.md)."""
+    operands whose CLASS is all the interpreter needs — and consumes
+    dictionaries natively (transparent operands, parse()'s exact error
+    shapes). It bails on ANY construct or lexical irregularity it does
+    not replicate bit-for-bit: ``_FallBack2`` re-runs tier 2,
+    ``_FallBack`` (``N G obj``) goes straight to the exact interpreter.
+    Tier 2 (``_text_fast``) is the token-driven twin of the exact path
+    (no per-object ObjectScanner.parse frame); it still bails to exact
+    on every dict mark. Every bail re-runs a slower-but-pinned tier, so
+    the output is the parse-based result by construction on every bail;
+    the only correctness surface is the non-bail path, pinned by
+    whole-corpus doc-by-doc compares, >1M differential-fuzz trials, and
+    the frozen bench corpus checksum (OPTIMIZATION_r06.md)."""
     data = excise_inline_images(content)
     try:
         return _text_fast2(data)
@@ -383,13 +384,14 @@ _TOK2 = re.compile(
 #: token kinds; operands that only matter by CLASS (numbers, names,
 #: booleans, null) never materialize a value
 (_K_INT, _K_FLOAT, _K_BOOL, _K_NULL, _K_NAME, _K_STR, _K_OP, _K_AO,
- _K_AC, _K_KW, _K_DC) = range(11)
+ _K_AC, _K_KW, _K_DC, _K_DO) = range(12)
 
 _T_INT = (_K_INT, None)
 _T_FLOAT = (_K_FLOAT, None)
 _T_NAME = (_K_NAME, None)
 _T_AO = (_K_AO, None)
 _T_AC = (_K_AC, None)
+_T_DO = (_K_DO, None)
 
 _LIT_KIND = {
     b"true": (_K_BOOL, True), b"false": (_K_BOOL, False),
@@ -511,12 +513,7 @@ def _text_fast2(data: bytes) -> bytes:
                 k = _LIT_KIND.get(v)
                 if k is None:
                     if v == b"<<":
-                        # _text_fast bails to exact on every dict mark;
-                        # skipping its re-scan is safe even where the
-                        # exact path would END before processing the <<
-                        # (deep-nesting breach): the exact re-run IS the
-                        # ground truth either way
-                        raise _FallBack()
+                        return _T_DO  # consumed natively (consume_dict)
                     raise _FallBack2  # 'stream' (stream-mark EOL rules)
                 return k
             if g == "cmt":
@@ -568,7 +565,58 @@ def _text_fast2(data: bytes) -> bytes:
             if k == _K_AO:
                 consume_array(depth + 1)
                 continue
+            if k == _K_DO:
+                consume_dict(depth + 1)
+                continue        # dict element contributes nothing
             raise _EndScan      # keyword / '>>' -> StructureError -> end
+
+    def consume_value(depth):
+        """One dict value: parse()'s single-object semantics at frame
+        depth ``depth`` (the caller has already breach-tested). May leave
+        the value's pre-fetched follow-on token in ``held`` (the next
+        key), exactly like parse's int lookahead."""
+        nonlocal held
+        k, v = nxt()
+        if k == _K_INT:
+            sk, sv = nxt()
+            if sk != _K_INT and sk != _K_BOOL:
+                held = (sk, sv)     # plain int value; follow-on is the key
+                return
+            tk, tv = scan()
+            if tk == _K_OP and tv == b"R":
+                return              # Ref value
+            if tk == _K_KW and tv == b"obj":
+                raise _FallBack()   # IndirectObject: exact path handles
+            # parse: push_back(second), return first -> the next key is
+            # the int/bool second -> "key must be a name" -> end
+            raise _EndScan
+        if k in (_K_FLOAT, _K_NAME, _K_BOOL, _K_NULL, _K_STR, _K_OP):
+            return                  # single-token value
+        if k == _K_AO:
+            consume_array(depth + 1)
+            return
+        if k == _K_DO:
+            consume_dict(depth + 1)
+            return
+        raise _EndScan              # ']' / '>>' / keyword -> StructureError
+
+    def consume_dict(depth):
+        """Consume one dictionary (opening '<<' already scanned);
+        ``depth`` is its parse frame depth. Dicts are transparent
+        operands: their values never reach pending, so nothing here
+        touches the two slots. A ``stream`` keyword after the closing
+        '>>' surfaces at the caller's next scan() and bails (the exact
+        path raises StructureError there: no stream resolver in content
+        mode)."""
+        while True:
+            k, v = nxt()
+            if k == _K_DC:
+                return
+            if k != _K_NAME:
+                raise _EndScan      # "dictionary key must be a name"
+            if depth >= _MAX_NESTING:
+                raise _EndScan      # value parse would breach
+            consume_value(depth)
 
     # first token: EOF -> empty content; a lexical error must PROPAGATE
     # with the byte-level lexer's exact type/message (the document
@@ -618,6 +666,10 @@ def _text_fast2(data: bytes) -> bytes:
                 continue
             if k == _K_AO:
                 last_arr = consume_array(1)
+                cur = nxt()
+                continue
+            if k == _K_DO:
+                consume_dict(1)  # transparent operand: slots untouched
                 cur = nxt()
                 continue
             break  # ']' / keyword / '>>' at top level -> end

@@ -177,6 +177,23 @@ FAST2_EDGE_CASES = EDGE_CASES + [
     b"1 null (x) Tj",
     b"1 2 3 4 (x) Tj",
     b"(a) 5 true 7 Tj",
+    # native dict consumption (tier 1 handles what tier 2 bails on, so
+    # these pin fast2 against the EXACT path): dicts are transparent
+    # operands, their string values never show, and parse()'s dict error
+    # shapes end extraction at the same point
+    b"(x) << /K (inner) >> Tj",
+    b"<< /A 1 /B 2.5 /C /N /D true /F (s) /G <4142> /H [1 (e)] >> (a) Tj",
+    b"<< /A << /B << /C 1 >> >> >> (a) Tj",
+    b"[ (a) << /X (hidden) >> (b) ] TJ",
+    b"<< /A 1 2 >> (a) Tj",          # int-pair value -> int key -> end
+    b"<< /A 1 0 R /B 2 >> (a) Tj",   # Ref value
+    b"<< (key) (val) >> (a) Tj",     # non-name key -> end
+    b"<< /A >> (a) Tj",              # '>>' in value position -> end
+    b"<< /A",                         # EOF after a key
+    b"<< /A 5 true R >> (a) Tj",     # bool generation number
+    b"1 2 << /K 3 >> (x) Tj",        # dict via the int-run hold
+    b"[" * 199 + b"<< /K (v) >>" + b"]" * 199 + b" TJ",
+    b"[" * 200 + b"<< /K (v) >>" + b"]" * 200 + b" TJ",
 ]
 
 
